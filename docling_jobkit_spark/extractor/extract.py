@@ -1,0 +1,250 @@
+"""Reference main-content extractor — the byte-identical oracle.
+
+Pure function ``extract(html_bytes) -> ExtractResult``. This single module
+defines the semantics the Spark pipeline must reproduce byte-for-byte per
+url (BASELINE.json ``input_hint``); the ``mapInPandas`` operator imports
+and calls exactly this function, so equivalence is by construction and the
+pytest suite pins it against golden files.
+
+Algorithm (jusText / boilerpipe family, re-derived from the published
+descriptions — block-level text-density + link-density scoring over a flat
+block stream; see PAPERS.md):
+
+1. tokenize html → flat Block stream (tokenizer.py);
+2. per-block integer features: text length, link-char count, kind,
+   boilerplate-subtree flag;
+3. classify GOOD / SHORT / BAD with integer thresholds;
+4. neighborhood smoothing: SHORT promoted next to GOOD (one pass);
+5. heading rule: a heading survives only if GOOD content follows it before
+   the next heading (jusText's "header with content" heuristic);
+6. emit kept blocks joined by "\\n\\n" with span offsets.
+
+Paged documents (the PDF-slice analog — reference fan-out
+``orchestrators/ray/serve_deployment.py:437-464`` and reassembly
+``:510-549``): pages are delimited by the literal comment
+``<!--PAGE_BREAK-->``; full-document extraction is DEFINED as the
+page-wise extraction joined by "\\f". That definition makes the Spark
+slice-explode → extract → groupBy(url)+sort_array reassembly byte-equal to
+the single-threaded path by construction.
+
+All failure modes become structured results, never exceptions
+(reference precedent ``serve_deployment.py:1590-1627`` degrade-to-document
+-failure).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from docling_jobkit_spark.extractor import tokenizer as tok
+from docling_jobkit_spark.extractor.errors import (
+    CATEGORY_POLICY,
+    CATEGORY_SOURCE_UNAVAILABLE,
+    PHASE_ADMISSION,
+    PHASE_EXTRACT,
+    FailureInfo,
+    classify_failure,
+)
+
+# integer thresholds — no floats in any classification decision
+MIN_GOOD_CHARS = 25          # block length for standalone GOOD
+MIN_SHORT_CHARS = 8          # below this a block is noise
+MIN_HEADING_CHARS = 2
+LINK_DENSITY_NUM = 1         # GOOD requires link_chars * DEN < text_len * NUM ...
+LINK_DENSITY_DEN = 3         # ... i.e. link density < 1/3
+HEADING_LINK_NUM = 1
+HEADING_LINK_DEN = 2         # headings tolerate link density < 1/2
+
+PAGE_BREAK = b"<!--PAGE_BREAK-->"
+PAGE_JOIN = "\f"
+
+STATUS_SUCCESS = "SUCCESS"
+STATUS_PARTIAL = "PARTIAL_SUCCESS"
+STATUS_FAILURE = "FAILURE"
+
+_GOOD, _SHORT, _BAD, _HEADING = 2, 1, 0, 3
+
+
+@dataclass(frozen=True)
+class Span:
+    start: int
+    end: int
+    kind: str
+    path: str
+
+    def as_dict(self) -> dict:
+        return {"start": self.start, "end": self.end, "kind": self.kind, "path": self.path}
+
+
+@dataclass
+class ExtractResult:
+    url: str | None
+    status: str
+    text: str
+    spans: list[Span] = field(default_factory=list)
+    error: FailureInfo | None = None
+    n_pages: int = 1
+
+    @property
+    def ok(self) -> bool:
+        return self.status != STATUS_FAILURE
+
+
+def split_pages(html: bytes) -> list[bytes]:
+    """Split a paged payload on the PAGE_BREAK marker (1 page if absent)."""
+    if PAGE_BREAK not in html:
+        return [html]
+    return html.split(PAGE_BREAK)
+
+
+def _classify(blocks: list[tok.Block]) -> list[int]:
+    labels = []
+    for b in blocks:
+        if b.in_boilerplate:
+            labels.append(_BAD)
+            continue
+        tl = b.text_len
+        if b.kind == "heading":
+            # headings tolerate link density up to (but below) 1/2
+            if tl >= MIN_HEADING_CHARS and b.link_chars * HEADING_LINK_DEN < tl:
+                labels.append(_HEADING)
+            else:
+                labels.append(_BAD)
+            continue
+        if tl < MIN_SHORT_CHARS:
+            labels.append(_BAD)
+            continue
+        low_link = b.link_chars * LINK_DENSITY_DEN < tl * LINK_DENSITY_NUM
+        if tl >= MIN_GOOD_CHARS and low_link:
+            labels.append(_GOOD)
+        elif low_link:
+            labels.append(_SHORT)
+        else:
+            labels.append(_BAD)
+    return labels
+
+
+def _smooth(labels: list[int]) -> list[int]:
+    """Promote SHORT blocks adjacent to GOOD (single deterministic pass over
+    the ORIGINAL labels, so the result does not depend on scan direction)."""
+    out = list(labels)
+    n = len(labels)
+    for i, lab in enumerate(labels):
+        if lab != _SHORT:
+            continue
+        prev_good = i > 0 and labels[i - 1] == _GOOD
+        next_good = i + 1 < n and labels[i + 1] == _GOOD
+        if prev_good or next_good:
+            out[i] = _GOOD
+    return out
+
+
+def _heading_pass(labels: list[int]) -> list[int]:
+    """A heading is kept only if GOOD content follows before the next
+    heading; otherwise it is boilerplate (site name, widget titles...)."""
+    out = list(labels)
+    n = len(labels)
+    for i, lab in enumerate(labels):
+        if lab != _HEADING:
+            continue
+        keep = False
+        for j in range(i + 1, n):
+            if labels[j] == _HEADING:
+                break
+            if labels[j] == _GOOD:
+                keep = True
+                break
+        out[i] = _GOOD if keep else _BAD
+    return out
+
+
+def _extract_single_page(html_text: str) -> tuple[str, list[Span]]:
+    blocks = tok.tokenize_blocks(html_text)
+    labels = _heading_pass(_smooth(_classify(blocks)))
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for b, lab in zip(blocks, labels):
+        if lab != _GOOD:
+            continue
+        t = b.text
+        if parts:
+            offset += 2  # the "\n\n" separator
+        spans.append(Span(offset, offset + len(t), b.kind, b.path))
+        parts.append(t)
+        offset += len(t)
+    return "\n\n".join(parts), spans
+
+
+def extract_page_range(
+    html: bytes, page_lo: int, page_hi: int
+) -> tuple[str, list[Span], int]:
+    """Extract pages [page_lo, page_hi] (1-based inclusive) of a paged
+    payload. Returns (text, spans, n_pages_total). Used by the slice
+    fan-out operator; ``extract`` == concat of slices joined by PAGE_JOIN.
+    """
+    pages = split_pages(html)
+    n = len(pages)
+    lo = max(1, page_lo)
+    hi = min(n, page_hi)
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for idx in range(lo - 1, hi):
+        text, page_spans = _extract_single_page(
+            pages[idx].decode("utf-8", errors="replace")
+        )
+        if parts:
+            offset += len(PAGE_JOIN)
+        for s in page_spans:
+            spans.append(Span(s.start + offset, s.end + offset, s.kind, s.path))
+        parts.append(text)
+        offset += len(text)
+    return PAGE_JOIN.join(parts), spans, n
+
+
+def extract(
+    html: bytes | None,
+    url: str | None = None,
+    max_bytes: int | None = None,
+) -> ExtractResult:
+    """The flagship per-document map (analog of the reference's
+    ``DoclingConverterManager.convert_documents``,
+    ``convert/manager.py:1725-1745``). Never raises."""
+    try:
+        if html is None or len(html) == 0:
+            return ExtractResult(
+                url,
+                STATUS_FAILURE,
+                "",
+                error=FailureInfo(
+                    CATEGORY_SOURCE_UNAVAILABLE, "empty document", False, PHASE_ADMISSION
+                ),
+            )
+        if max_bytes is not None and len(html) > max_bytes:
+            return ExtractResult(
+                url,
+                STATUS_FAILURE,
+                "",
+                error=FailureInfo(
+                    CATEGORY_POLICY,
+                    f"document size {len(html)} exceeds max_file_size {max_bytes}",
+                    False,
+                    PHASE_ADMISSION,
+                ),
+            )
+        had_decode_errors = False
+        try:
+            html.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            had_decode_errors = True
+
+        text, spans, n_pages = extract_page_range(html, 1, 1 << 30)
+        if not text:
+            return ExtractResult(url, STATUS_PARTIAL, "", spans=[], n_pages=n_pages)
+        status = STATUS_PARTIAL if had_decode_errors else STATUS_SUCCESS
+        return ExtractResult(url, status, text, spans=spans, n_pages=n_pages)
+    except Exception as exc:  # absolute backstop: failures are rows
+        return ExtractResult(
+            url, STATUS_FAILURE, "", error=classify_failure(exc, PHASE_EXTRACT)
+        )

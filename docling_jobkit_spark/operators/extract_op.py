@@ -1,0 +1,112 @@
+"""The flagship per-document map as a Spark operator.
+
+Re-expresses the reference's ``convert_documents``
+(``docling_jobkit/convert/manager.py:1725-1745``) + per-batch worker
+(``cli/multiproc.py:247-368``) as ONE ``mapInPandas`` over the pages
+table. Design points, each mapped to reference behavior:
+
+- **Arrow-batched, no per-row Python at the Spark boundary** — the
+  iterator-of-DataFrames form streams Arrow batches through a generator,
+  the same laziness as the reference's one-doc-in-flight generator
+  (``convert/chunk_execution.py:44-71``); batch size is capped in
+  session.py for binary payloads.
+- **Init-once-per-worker** — the reference LRU-caches expensive converter
+  objects keyed by an options hash (``convert/manager.py:369-479``). Our
+  extractor is a pure function so the only per-worker state is the
+  compiled regexes, imported once per Python worker process.
+- **Failures are rows** — per-document try/except inside ``extract()``
+  yields an ``error`` struct column; a malformed page can never fail the
+  Spark task (``serve_deployment.py:1590-1627`` degrade precedent).
+- **Per-partition metrics rows** — emitted via a companion operator in
+  metrics.py (the reference's ``BatchResult``, ``cli/multiproc.py:54-63``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("path", T.StringType()),
+        ]
+    )
+)
+
+ERROR_TYPE = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("retryable", T.BooleanType()),
+        T.StructField("phase", T.StringType()),
+    ]
+)
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("error", ERROR_TYPE),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_spans", T.IntegerType()),
+    ]
+)
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], max_bytes: int | None
+) -> Iterator[pd.DataFrame]:
+    # import inside the worker so the function closure stays tiny when
+    # pickled to executors (standard pandas-UDF pattern)
+    from docling_jobkit_spark.extractor.extract import extract
+
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        out: dict[str, list] = {
+            "url": [], "status": [], "extracted_text": [], "spans": [],
+            "error": [], "n_pages": [], "n_bytes": [], "n_spans": [],
+        }
+        for url, html in zip(urls, htmls):
+            payload = bytes(html) if html is not None else None
+            res = extract(payload, url, max_bytes=max_bytes)
+            out["url"].append(url)
+            out["status"].append(res.status)
+            out["extracted_text"].append(res.text)
+            out["spans"].append([s.as_dict() for s in res.spans])
+            out["error"].append(res.error.as_dict() if res.error else None)
+            out["n_pages"].append(res.n_pages)
+            out["n_bytes"].append(len(payload) if payload is not None else 0)
+            out["n_spans"].append(len(res.spans))
+        yield pd.DataFrame(out)
+
+
+def extract_documents(
+    pages: DataFrame,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """pages(url, html, ...) → results(RESULT_SCHEMA).
+
+    Column pruning: only (url, html) cross the Arrow boundary — Catalyst
+    prunes the parquet scan down to those two columns (verify with
+    ``.explain``: ReadSchema contains url,html only).
+    """
+    pruned = pages.select("url", "html")
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(it, max_bytes), schema=RESULT_SCHEMA
+    )

@@ -1,0 +1,117 @@
+"""End-to-end extraction pipeline (SURVEY §7 Phase 2-4).
+
+The whole engine, declaratively:
+
+    scan → admission filter → salted repartition → slice-explode big docs
+    → mapInPandas(extract) → reassemble → union failure rows
+    → results + metrics tables, committed per group, resumable.
+
+Reference lifecycle being replaced (SURVEY §3.2, the multiproc CLI):
+source iteration → DocumentChunk batching → mp.Pool(process_batch) →
+BatchResult aggregation. Spark's scheduler plays the pool; commit groups
+play the durable task state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.checkpoint import CommitLog
+from docling_jobkit_spark.metrics import (
+    partition_metrics,
+    stamp_committed_at,
+    with_lineage,
+)
+from docling_jobkit_spark.operators.admission import admission_split
+from docling_jobkit_spark.operators.extract_op import extract_documents
+from docling_jobkit_spark.operators.partitioning import (
+    salted_repartition,
+    url_bucket_col,
+)
+from docling_jobkit_spark.operators.slices import extract_documents_sliced
+
+
+@dataclass
+class PipelineConfig:
+    max_bytes: int | None = 64 * 1024 * 1024   # admission size cap
+    num_partitions: int = 32                   # extraction parallelism
+    n_buckets: int = 1024                      # url-hash bucket space
+    n_commit_groups: int = 8                   # resume granularity
+    pages_per_slice: int = 2                   # slice fan-out width
+    slice_min_pages: int = 3                   # docs at/above this get sliced
+    use_slicing: bool = True
+
+
+class ExtractionPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+
+    # -- plan pieces ---------------------------------------------------
+
+    def read_pages(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def group_col(self):
+        """Commit-group id: a deterministic fold of the url-hash bucket,
+        so group membership never depends on run-time partitioning."""
+        return F.pmod(
+            url_bucket_col(self.config.n_buckets), F.lit(self.config.n_commit_groups)
+        ).alias("commit_group")
+
+    def extract(self, pages: DataFrame) -> DataFrame:
+        """The core transform, without commit bookkeeping."""
+        cfg = self.config
+        admitted, rejected = admission_split(pages, max_bytes=cfg.max_bytes)
+        admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
+        if cfg.use_slicing:
+            extracted = extract_documents_sliced(
+                admitted,
+                pages_per_slice=cfg.pages_per_slice,
+                slice_min_pages=cfg.slice_min_pages,
+            )
+        else:
+            extracted = extract_documents(admitted)
+        return extracted.unionByName(rejected)
+
+    # -- resumable run -------------------------------------------------
+
+    def run(
+        self,
+        pages: DataFrame,
+        output_root: str,
+        run_id: str = "run-0",
+        fail_after_groups: int | None = None,
+    ) -> CommitLog:
+        """Execute with per-group atomic commits; safe to re-run after a
+        crash — committed groups are skipped, uncommitted replayed.
+
+        ``fail_after_groups`` is a test hook that simulates a mid-job
+        crash (the kill-and-rerun test of FIXTURES.md §6).
+        """
+        cfg = self.config
+        log = CommitLog(output_root)
+        pages_g = pages.withColumn("commit_group", self.group_col())
+        todo = log.remaining_pages(self.spark, pages_g, F.col("commit_group"))
+
+        done_count = 0
+        committed = log.committed_groups()
+        for gid in range(cfg.n_commit_groups):
+            if gid in committed:
+                continue
+            if fail_after_groups is not None and done_count >= fail_after_groups:
+                raise RuntimeError(f"injected crash after {done_count} groups")
+            group_pages = todo.filter(F.col("commit_group") == gid).drop("commit_group")
+            results = with_lineage(self.extract(group_pages), run_id)
+            log.commit_group(gid, results)
+            done_count += 1
+
+        # metrics over the committed snapshot (exact even across retries)
+        all_results = log.committed_results(self.spark)
+        if all_results is not None:
+            metrics = stamp_committed_at(partition_metrics(all_results))
+            metrics.write.mode("overwrite").parquet(f"{output_root}/metrics")
+        return log

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode knobs follow the public Spark docs: AQE on, Arrow on, shuffle
+partitions sized to cores (not the 200 default), UTC session timezone so
+timestamps round-trip deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "docling-jobkit-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores`` controls ``local[N]``; shuffle partitions default to ``cores``
+    so local shuffles don't fragment into 200 tiny tasks. On a real cluster
+    the same code runs under spark-submit with master/partitions supplied by
+    the deployment, so nothing here hard-codes local-only behavior beyond
+    the master URL.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary html payloads: cap Arrow batch size so a batch of big pages
+        # doesn't blow the python worker heap (SURVEY §7 "What's hard" #4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
