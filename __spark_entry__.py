@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity /
+text analysis / multimodal); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one.
+
+Cross-engine determinism policy (see docling_jobkit_spark.functions):
+- hashes via sha-256 hex prefixes (identical in any engine);
+- double sums via exact decimal accumulation, rounded, cast back;
+- every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,557 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (admission → salted repartition
+    → slice fan-out → mapInPandas extract → reassembly → failure rows)
+    over a deterministic pages table derived from sf0.001 documents."""
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, SF001)
+    pipe = ExtractionPipeline(
+        spark, PipelineConfig(num_partitions=8, use_slicing=True)
+    )
+    return pipe.extract(pages)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    out = pipe.extract(pages)
+    return out.select(
+        "url", "status", "extracted_text", "n_pages", "n_spans"
+    )
+
+
+def _q_extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _q_flagship_extract(spark, sf_dir)
+    return out.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def _q_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunker over extraction results (C1)."""
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    chunks = chunk_documents(pipe.extract(pages), max_tokens=32, overlap=4)
+    return chunks.select("url", "chunk_index", "text", "num_tokens")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_status_counts(spark, sf_dir):
+    """P7: conditional status counting (exact decimal sum → stable)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def _q_hash_key(spark, sf_dir):
+    """P2: sha256-prefix artifact/bucket key."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.sha2(F.concat(F.lit("doc-"), F.col("doc_id").cast("string")), 256), 1, 12
+        ).alias("hash_key"),
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    from docling_jobkit_spark.functions.scalar import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def _q_quality(spark, sf_dir):
+    from docling_jobkit_spark.operators.textstats import quality_features
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_q", "n_tokens", "n_punct", "n_digit",
+        "punct_ratio", "digit_ratio", "avg_token_len", "n_stopwords_en",
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from docling_jobkit_spark.operators.textstats import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from docling_jobkit_spark.functions.scalar import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from docling_jobkit_spark.operators.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "content_hash", "canonical_id", "n_members", "member_ids"
+    )
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from docling_jobkit_spark.operators.dedup import jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, block_cols=("lang",), threshold_num=3, threshold_den=5
+    ).select("id_a", "id_b", "n_common", "n_union", "jaccard")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from docling_jobkit_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold_num=3, threshold_den=5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from docling_jobkit_spark.operators.dedup import with_simhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_simhash(docs).select("doc_id", "simhash")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from docling_jobkit_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _q_ann_brute(spark, sf_dir):
+    from docling_jobkit_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from docling_jobkit_spark.operators.similarity import ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=8, n_tables=4)
+
+
+def _q_char_chunks(spark, sf_dir):
+    from docling_jobkit_spark.operators.chunker import char_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return char_chunks(docs, width=100).select(
+        "doc_id", "chunk_index", "chunk_text"
+    )
+
+
+def _q_explode_reassemble(spark, sf_dir):
+    """F1/F2: slice-explode then order-preserving reassembly == original."""
+    from docling_jobkit_spark.operators.chunker import char_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = char_chunks(docs, width=64)
+    reassembled = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_slices"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_index", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+            "",
+        ).alias("reassembled"),
+    )
+    return (
+        reassembled.join(docs.select("doc_id", "text"), on="doc_id")
+        .select(
+            "doc_id",
+            "n_slices",
+            (F.col("reassembled") == F.col("text")).alias("ok"),
+        )
+    )
+
+
+def _q_anti_join_resume(spark, sf_dir):
+    """O5/O6: resume anti-join (pages minus committed)."""
+    docs = _read(spark, sf_dir, "documents")
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return docs.join(done, on="doc_id", how="left_anti").select("doc_id", "source")
+
+
+def _q_union_sources(spark, sf_dir):
+    """S6: heterogeneous multi-source union."""
+    from docling_jobkit_spark.sources.readers import union_sources
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.lit("alpha").alias("origin")
+    )
+    b = docs.filter(F.col("source") == "src1").select(
+        "doc_id", F.lit("beta").alias("origin")
+    )
+    return union_sources([a, b])
+
+
+def _q_topk(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("acctbal"),
+        )
+        .orderBy(F.col("acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_window_latest(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_map_merge(spark, sf_dir):
+    """F3: timings map-merge re-expressed as exploded (key, agg) rows."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def _q_sort_distinct(spark, sf_dir):
+    """C3: sorted(set(...)) per group."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types")
+    )
+
+
+def _q_agg_lineitem(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                    ).cast("decimal(28,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Streaming-analog batch rollup: hourly event counts."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata pass (relational form of the stub decoder)."""
+    from docling_jobkit_spark.operators.multimodal import media_metadata_relational
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return media_metadata_relational(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_extract": _q_flagship_extract,
+        "extract_status_counts": _q_extract_status_counts,
+        "chunker_token_windows": _q_chunker,
+        "status_counts": _q_status_counts,
+        "hash_key": _q_hash_key,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "char_chunks": _q_char_chunks,
+        "explode_reassemble": _q_explode_reassemble,
+        "anti_join_resume": _q_anti_join_resume,
+        "union_sources": _q_union_sources,
+        "topk_customers": _q_topk,
+        "window_latest_event": _q_window_latest,
+        "map_merge_agg": _q_map_merge,
+        "sort_distinct_array": _q_sort_distinct,
+        "agg_lineitem_q1": _q_agg_lineitem,
+        "events_hourly": _q_events_hourly,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same table names pre-registered as views)
+# --------------------------------------------------------------------------
+
+_LANG_HITS = {
+    lang: "len(list_intersect(string_split_regex(trim(lower(text)),'\\s+'), "
+    + "["
+    + ",".join(f"'{w}'" for w in words)
+    + "]))"
+    for lang, words in {
+        "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+        "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "von"),
+        "fr": ("le", "la", "et", "les", "des", "est", "pour", "dans", "que", "une"),
+        "es": ("el", "la", "que", "de", "los", "por", "con", "una", "para", "es"),
+        "it": ("il", "la", "che", "di", "per", "con", "una", "sono", "del", "non"),
+    }.items()
+}
+
+_LANG_ID_EXPR = (
+    "case when greatest({en},{de},{fr},{es},{it}) = 0 then 'und' "
+    "when {en} = greatest({en},{de},{fr},{es},{it}) then 'en' "
+    "when {de} = greatest({en},{de},{fr},{es},{it}) then 'de' "
+    "when {fr} = greatest({en},{de},{fr},{es},{it}) then 'fr' "
+    "when {es} = greatest({en},{de},{fr},{es},{it}) then 'es' "
+    "else 'it' end"
+).format(**_LANG_HITS)
+
+_NTOK = (
+    "case when trim(text) = '' then 0 "
+    "else len(string_split_regex(trim(text),'\\s+')) end"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "status_counts": """
+            select o_orderstatus,
+                   count(*) as n_orders,
+                   round(sum(cast(o_totalprice as decimal(18,4))), 2)::double as total_price
+            from orders group by o_orderstatus
+        """,
+        "hash_key": """
+            select doc_id, substr(sha256('doc-' || doc_id::varchar), 1, 12) as hash_key
+            from documents
+        """,
+        "token_count": f"select doc_id, ({_NTOK})::int as n_tokens from documents",
+        "quality": f"""
+            select doc_id,
+                   length(text) as n_chars_q,
+                   ({_NTOK})::int as n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]'))::int as n_punct,
+                   len(regexp_extract_all(text, '[0-9]'))::int as n_digit,
+                   round(len(regexp_extract_all(text, '[.,!?;:]'))
+                         / greatest(length(text), 1), 6) as punct_ratio,
+                   round(len(regexp_extract_all(text, '[0-9]'))
+                         / greatest(length(text), 1), 6) as digit_ratio,
+                   round(length(text) / greatest(({_NTOK}), 1), 6) as avg_token_len,
+                   {_LANG_HITS['en']}::int as n_stopwords_en
+            from documents
+        """,
+        "lang_id": f"select doc_id, lang, {_LANG_ID_EXPR} as lang_pred from documents",
+        "fingerprint": """
+            select doc_id,
+                   substr(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) as fp
+            from documents
+        """,
+        "dedup_exact": """
+            select sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as content_hash,
+                   min(doc_id) as canonical_id,
+                   count(*) as n_members,
+                   list_sort(array_agg(doc_id)) as member_ids
+            from documents
+            group by 1
+        """,
+        "jaccard_pairs": """
+            with w as (
+              select doc_id, lang,
+                     list_distinct(string_split_regex(trim(lower(text)),'\\s+')) as words
+              from documents
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   len(list_intersect(a.words, b.words))::int as n_common,
+                   (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))::int as n_union,
+                   round(len(list_intersect(a.words, b.words))
+                         / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) as jaccard
+            from w a join w b on a.lang = b.lang and a.doc_id < b.doc_id
+            where len(list_intersect(a.words, b.words)) * 5
+                  >= (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) * 3
+        """,
+        "ann_cosine_topk": """
+            with q as (select embedding as e from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_dot_product(embedding, q.e)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(q.e, q.e))), 6) as cosine
+            from embeddings, q
+            order by cosine desc, vec_id
+            limit 10
+        """,
+        "char_chunks": """
+            with c as (
+              select doc_id, text,
+                     unnest(generate_series(0, greatest(ceil(length(text)/100.0)::int,1) - 1)) as chunk_index
+              from documents
+            )
+            select doc_id, chunk_index::int as chunk_index,
+                   substring(text, chunk_index*100 + 1, 100) as chunk_text
+            from c
+            where length(substring(text, chunk_index*100 + 1, 100)) > 0
+        """,
+        "explode_reassemble": """
+            with c as (
+              select doc_id, text,
+                     unnest(generate_series(0, greatest(ceil(length(text)/64.0)::int,1) - 1)) as chunk_index
+              from documents
+            ), s as (
+              select doc_id, chunk_index,
+                     substring(text, chunk_index*64 + 1, 64) as chunk_text,
+                     text
+              from c
+              where length(substring(text, chunk_index*64 + 1, 64)) > 0
+            )
+            select doc_id,
+                   count(*) as n_slices,
+                   (string_agg(chunk_text, '' order by chunk_index) = any_value(text)) as ok
+            from s group by doc_id
+        """,
+        "anti_join_resume": """
+            select doc_id, source from documents
+            where doc_id not in (select doc_id from documents where doc_id % 7 = 0)
+        """,
+        "union_sources": """
+            select doc_id, 'alpha' as origin from documents where source = 'src0'
+            union all
+            select doc_id, 'beta' as origin from documents where source = 'src1'
+        """,
+        "topk_customers": """
+            select c_custkey, c_name,
+                   round(cast(c_acctbal as decimal(18,4)), 2)::double as acctbal
+            from customer
+            order by acctbal desc, c_custkey
+            limit 10
+        """,
+        "window_latest_event": """
+            select user_id, event_id, event_type from (
+              select user_id, event_id, event_type,
+                     row_number() over (partition by user_id
+                                        order by ts desc, event_id) as rn
+              from events
+            ) t where rn = 1
+        """,
+        "map_merge_agg": """
+            select user_id, event_type, count(*) as n,
+                   round(sum(cast(value as decimal(18,6))), 3)::double as total_value
+            from events group by user_id, event_type
+        """,
+        "sort_distinct_array": """
+            select user_id,
+                   list_sort(list_distinct(array_agg(event_type))) as event_types
+            from events group by user_id
+        """,
+        "agg_lineitem_q1": """
+            select l_returnflag, l_linestatus,
+                   round(sum(cast(l_quantity as decimal(18,4))), 2)::double as sum_qty,
+                   round(sum(cast(l_extendedprice as decimal(18,4))), 2)::double as sum_base_price,
+                   round(sum(cast(cast(l_extendedprice as decimal(18,4))
+                             * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))
+                             as decimal(28,8))), 2)::double as sum_disc_price,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            select epoch(date_trunc('hour', ts))::bigint as hour_epoch,
+                   event_type, count(*) as n
+            from events group by 1, 2
+        """,
+        "multimodal_meta": """
+            select 'doc-' || doc_id::varchar as media_id,
+                   length(text)::bigint as n_bytes,
+                   substr(sha256(text), 1, 16) as content_hash,
+                   (('0x' || substr(sha256(text), 1, 4))::ubigint % 4096)::int as width,
+                   (('0x' || substr(sha256(text), 5, 4))::ubigint % 4096)::int as height
+            from documents
+        """,
+    }

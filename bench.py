@@ -1,0 +1,132 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The flagship metric is extraction throughput
+(docs/sec) over a deterministic pages corpus derived JVM-side from the
+``documents`` table and volume-replicated (no Python in datagen, no
+external data).
+
+Scaling evidence (north rule ≥0.8 efficiency between N and 4N): run
+``python scaling_bench.py`` — it launches this extraction job in fresh
+JVMs at local[8] and local[32] and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _sf_of(path: str) -> float:
+    try:
+        return float(path.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return -1.0
+
+
+def replicated_pages(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """documents → pages, replicated `factor`× with distinct urls (pure
+    relational explode; deterministic)."""
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        F.posexplode(F.sequence(F.lit(1), F.lit(factor))).alias("rep", "_x"),
+        "*",
+    ).select(
+        F.concat_ws("#", "url", F.col("rep").cast("string")).alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    )
+
+
+def _noop_write(df: DataFrame) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    from docling_jobkit_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: extraction throughput on the replicated corpus -------
+    pages = replicated_pages(spark, SF_DIR, REPLICATE).cache()
+    n_docs = pages.count()
+    total_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
+
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+
+    pipe = ExtractionPipeline(
+        spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=False)
+    )
+    t0 = time.perf_counter()
+    _noop_write(pipe.extract(pages))
+    dt = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(dt, 3)
+    extras["extract_docs_per_sec"] = round(n_docs / dt, 1)
+    extras["extract_mb_per_sec"] = round(total_bytes / dt / 1e6, 1)
+    extras["extract_n_docs"] = n_docs
+    pages.unpersist()
+
+    # --- headline operator queries -------------------------------------
+    headline = [
+        "agg_lineitem_q1",
+        "window_latest_event",
+        "map_merge_agg",
+        "events_hourly",
+        "dedup_exact",
+        "jaccard_pairs",
+        "minhash_lsh",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "char_chunks",
+        "token_count",
+        "lang_id",
+        "quality",
+        "fingerprint",
+        "multimodal_meta",
+        "chunker_token_windows",
+    ]
+    for name in headline:
+        q = queries[name]
+        t0 = time.perf_counter()
+        _noop_write(q(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Scalar functions (SURVEY §2.5) — all JVM-side, whole-stage-codegen.
+
+Cross-engine determinism note: where a value must be reproducible outside
+Spark (DuckDB oracle, other engines), hashes are derived from sha-256 hex
+prefixes instead of engine-native hash functions (xxhash64/murmur differ
+per engine; sha-256 of the same bytes never does). Reference precedent
+for the sha-prefix key: ``connectors/artifact_paths.py:9-10``
+(``sha256(uri)[:12]``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_hash_key(col="url", n: int = 12) -> Column:
+    """Stable artifact/bucket key: first n hex chars of sha256.
+
+    P2 in SURVEY §2.5 (``hash_path_component``)."""
+    return F.substring(F.sha2(F.col(col) if isinstance(col, str) else col, 256), 1, n)
+
+
+def stable_hash64(col, bits: int = 56) -> Column:
+    """Deterministic cross-engine integer hash: sha256 hex prefix → long.
+
+    56 bits (14 hex chars) keeps the value strictly inside a signed 64-bit
+    long in every engine (DuckDB ubigint, Spark long, Python int)."""
+    n_hex = bits // 4
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c, 256), 1, n_hex), 16, 10).cast("long")
+
+
+def normalized_text(col) -> Column:
+    """Deterministic normalization used by fingerprints & dedup: lowercase,
+    collapse whitespace runs, trim. Mirrors the oracle-extractor policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col, n: int = 16) -> Column:
+    """Document fingerprint: sha256 of normalized text, hex prefix."""
+    return F.substring(F.sha2(normalized_text(col), 256), 1, n)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization with exact empty-string semantics shared
+    with the DuckDB oracle (`string_split_regex(trim(x),'\\s+')`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c))).cast("int")

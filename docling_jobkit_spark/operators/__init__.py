@@ -12,3 +12,29 @@ from docling_jobkit_spark.operators.slices import (  # noqa: F401
     reassemble_slices,
     extract_documents_sliced,
 )
+from docling_jobkit_spark.operators.chunker import (  # noqa: F401
+    chunk_documents,
+    char_chunks,
+)
+from docling_jobkit_spark.operators.dedup import (  # noqa: F401
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    with_minhash,
+    with_simhash,
+)
+from docling_jobkit_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    ann_topk,
+)
+from docling_jobkit_spark.operators.textstats import (  # noqa: F401
+    lang_id,
+    quality_features,
+    with_fingerprint,
+    with_lang_id,
+)
+from docling_jobkit_spark.operators.multimodal import (  # noqa: F401
+    extract_media_metadata,
+    media_metadata_relational,
+)

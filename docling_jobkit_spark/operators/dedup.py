@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Core training-data-pipeline ops (build brief), designed Spark-first:
+
+- **exact**: hash-groupBy on the normalized-text sha256 — one shuffle on
+  a uniform 256-bit key; min(doc_id) is the canonical representative.
+- **jaccard pairs**: word-set Jaccard over a *blocked* self-join — the
+  equi-join key caps the candidate space, Catalyst picks broadcast vs
+  sort-merge. Exact arithmetic: |∩| and |∪| are ints.
+- **MinHash+LSH**: shingle → 64 permutation-min signatures → band/bucket
+  → bucket-join. Shingle hashes come from sha256 hex prefixes (stable_
+  hash64) so signatures are reproducible in ANY engine; permutations are
+  the classic (a·x + b) mod p family with hardcoded odd constants.
+  All array math uses Spark higher-order functions (transform/aggregate)
+  — zero Python in the plan.
+- **SimHash**: 48-bit sign-sum over token hashes, Hamming-distance
+  candidate pairs via band equality on hex slices.
+
+Scale notes: LSH bucket join shuffles on (band, bucket) — uniformly
+hashed keys, no skew; candidate verification is a narrow join of doc ids
+then one gather of token sets. At 10^12 docs the band width/rows tune
+recall vs shuffle volume; constants here follow the standard r=4,b=16
+operating point for ~0.5 Jaccard threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.functions.scalar import normalized_text, stable_hash64, tokens
+
+# (a,b) pairs for 16 permutations × 4 rows/band = 64 minhashes; fixed odd
+# multipliers (any odd a works mod 2^61-1 prime field)
+MINHASH_PRIME = (1 << 61) - 1
+N_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = N_HASHES // BANDS
+_A = [2 * i + 1 for i in range(1, N_HASHES + 1)]          # 3,5,7,...
+_B = [(i * i * 2654435761) % MINHASH_PRIME for i in range(N_HASHES)]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: one row per content
+    hash with the canonical id, member count, and member ids."""
+    h = F.sha2(normalized_text(text_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def word_shingles(text_col, k: int = 3):
+    """k-word shingles as strings (distinct), via higher-order functions:
+    transform over token index range → slice-join."""
+    toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by word-set Jaccard within blocks.
+
+    Jaccard ≥ num/den tested in integer arithmetic (deterministic):
+    |∩| * den ≥ |∪| * num.
+    """
+    words = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    base = df.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], words.alias("words")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("words").alias("words_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("words").alias("words_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    joined = a.join(b, on=cond)
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    union = F.size(F.array_union("words_a", "words_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
+    )
+
+
+def minhash_signature(text_col, k: int = 3):
+    """array<long> of N_HASHES permutation minima over shingle hashes."""
+    sh = word_shingles(text_col, k)
+    # 52-bit base hashes: 2^52 * max(a)=129 + b stays far below 2^63 — the
+    # permutation arithmetic can never overflow a signed long
+    base_hashes = F.transform(sh, lambda s: stable_hash64(s, bits=52))
+    # SINGLE PASS over the shingle hashes, updating all 64 minima at once.
+    # The naive form (64 × array_min(transform(base_hashes, perm_i))) makes
+    # Catalyst re-evaluate the whole tokenize→shingle→sha256 chain per
+    # permutation — 64× the work (measured: ~15× slower end to end).
+    consts = F.array(
+        *[
+            F.struct(
+                F.lit(_A[i]).cast("long").alias("a"),
+                F.lit(_B[i] % (1 << 60)).cast("long").alias("b"),
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    init = F.transform(
+        F.sequence(F.lit(1), F.lit(N_HASHES)),
+        lambda _: F.lit((1 << 62)).cast("long"),
+    )
+    return F.aggregate(
+        base_hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (x * c.a + c.b) % MINHASH_PRIME)
+        ),
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("minhash", minhash_signature(text_col))
+
+
+def lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: equal band-slice of the
+    signature → same bucket → pair. Returns distinct (id_a, id_b)."""
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig"))
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.sha2(
+                    F.to_json(F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND)), 256
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    right = bands.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates verified with exact Jaccard
+    over word shingles (false positives removed; the standard
+    filter-and-verify shape)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles")
+    )
+    cands = lsh_candidates(df, text_col, id_col)
+    j = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(inter * threshold_den >= union * threshold_num)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash(text_col):
+    """48-bit SimHash of the token multiset, via higher-order functions:
+    per-bit sign sums of token hashes, no Python.
+
+    bit_i(doc) = 1 iff Σ_tokens (hash(token) bit i ? +1 : -1) > 0
+    """
+    toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    hashes = F.transform(toks, lambda t: stable_hash64(t))
+    zeros = F.transform(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)), lambda _: F.lit(0).cast("long")
+    )
+    # bit masks as an array literal — shiftleft/right need static shift
+    # amounts in the DataFrame API, masks don't
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    # single pass: accumulate a 48-long sign-sum vector, then fold to bits
+    sums = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) > 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash(text_col))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-≤k pairs: band the 48-bit simhash into 4 12-bit chunks —
+    any pair within distance 3 shares ≥1 exact chunk (pigeonhole), so the
+    join is an equi-join on (chunk_idx, chunk_value), then verified with
+    bit_count(xor)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 12 * i).bitwiseAND(F.lit(0xFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = chunks.select("chunk_idx", "chunk_val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        ham <= max_hamming
+    )

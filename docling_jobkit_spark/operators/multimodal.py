@@ -1,0 +1,104 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads travel as ``binary`` columns with a metadata
+struct — the same row-shape discipline as the html payload (and as the
+reference's page-image bytes in its parquet sink,
+``convert/results_processor.py:289-370``: ``page_images: list<bytes>``,
+``features: list<int>``).
+
+The actual codec decode is STUBBED (no image/audio libs in this
+container): ``decode_image`` raises NotImplementedError unless a
+deterministic fake is requested. Everything Spark-side is real and
+tested — schema, Arrow batch shape, mapInPandas plumbing, partitioning —
+so swapping in a real decoder is a one-function change.
+
+The deterministic fake derives metadata purely from the bytes (length,
+sha-256 prefix ints) so it has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """Real decode is unavailable in this environment — STUB.
+
+    With ``fake=True`` returns deterministic byte-derived pseudo-metadata
+    (the shape a real decoder would produce)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec library not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+    h = hashlib.sha256(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "content_hash": h[:16],
+        "width": int(h[:4], 16) % 4096,
+        "height": int(h[4:8], 16) % 4096,
+        "n_frames": 1,
+        # 8-dim byte-histogram-ish feature, deterministic
+        "feature": [float(int(h[i * 2 : i * 2 + 2], 16)) / 255.0 for i in range(8)],
+    }
+
+
+def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "n_bytes", "content_hash", "width", "height",
+            "n_frames", "feature",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            meta = decode_image(bytes(payload), fake=True)
+            out["media_id"].append(mid)
+            for k in ("n_bytes", "content_hash", "width", "height", "n_frames", "feature"):
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """media(media_id, payload binary) → metadata rows. Same Arrow-batched
+    shape as the text extraction operator; payload column pruned to the
+    two needed columns before the Python boundary."""
+    return media.select("media_id", "payload").mapInPandas(
+        _media_batches, schema=MEDIA_META_SCHEMA
+    )
+
+
+def media_metadata_relational(media: DataFrame) -> DataFrame:
+    """The deterministic-fake metadata expressed RELATIONALLY (no Python)
+    — bit-identical to the fake decoder, and SQL-oracle-checkable. At
+    scale this is the admission/statistics pass that runs before any real
+    decode; the real decode only ever sees admitted rows."""
+    h = F.sha2(F.col("payload"), 256)
+    return media.select(
+        F.col("media_id"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.substring(h, 1, 16).alias("content_hash"),
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(4096))
+        .cast("int")
+        .alias("width"),
+        F.pmod(F.conv(F.substring(h, 5, 4), 16, 10).cast("long"), F.lit(4096))
+        .cast("int")
+        .alias("height"),
+    )

@@ -1,0 +1,202 @@
+"""Unit tests for dedup / similarity / chunker / textstats / multimodal
+operators on small in-memory frames (fast; the oracle harness in
+test_queries_oracle.py is the cross-engine gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s0"),
+        (2, "der schnelle braune fuchs springt über den faulen hund", "de", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 0
+        (4, "completely different words appear here only once", "en", "s1"),
+        (5, "", "en", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_duplicates(spark, docs):
+    from docling_jobkit_spark.operators.dedup import exact_duplicates
+
+    groups = {r["canonical_id"]: r for r in exact_duplicates(docs).collect()}
+    assert groups[0]["n_members"] == 2
+    assert groups[0]["member_ids"] == [0, 3]
+    assert groups[1]["n_members"] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    from docling_jobkit_spark.operators.dedup import jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold_num=1, threshold_den=2).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any(a == 2 or b == 2 for a, b in pairs)  # different lang block
+
+
+def test_minhash_and_simhash_agree_on_dups(spark, docs):
+    from docling_jobkit_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+        with_minhash,
+        with_simhash,
+    )
+
+    nd = docs.filter(F.col("text") != "")
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in minhash_near_duplicates(nd).collect()}
+    assert (0, 3) in mh_pairs  # exact dup must survive LSH + verify
+
+    sh = {r["doc_id"]: r["simhash"] for r in with_simhash(nd).collect()}
+    assert sh[0] == sh[3]
+    assert sh[0] != sh[4]
+    sh_pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(nd, max_hamming=0).collect()}
+    assert (0, 3) in sh_pairs
+
+    # signatures deterministic across evaluations
+    m1 = with_minhash(nd).filter("doc_id=0").collect()[0]["minhash"]
+    m2 = with_minhash(nd).filter("doc_id=0").collect()[0]["minhash"]
+    assert m1 == m2 and len(m1) == 64
+
+
+def test_brute_force_topk_exact(spark):
+    from docling_jobkit_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = brute_force_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_ann_lsh_contains_exact_match(spark):
+    from docling_jobkit_spark.operators.similarity import ann_topk
+
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), float((i % 5) - 2) / 2.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[7][1]
+    top = ann_topk(df, q, k=3, n_bits=6, n_tables=6).collect()
+    assert top, "LSH buckets must contain candidates"
+    assert top[0]["vec_id"] == 7  # the query vector itself hashes to its own bucket
+
+
+def test_chunk_text_token_windows():
+    from docling_jobkit_spark.operators.chunker import chunk_text
+
+    text = " ".join(f"w{i}" for i in range(100))
+    chunks = chunk_text(text, [], max_tokens=32, overlap=4)
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    assert chunks[0]["num_tokens"] == 32
+    # overlap: consecutive windows share `overlap` tokens
+    t0 = chunks[0]["text"].split()
+    t1 = chunks[1]["text"].split()
+    assert t0[-4:] == t1[:4]
+    # full coverage: every token appears in some chunk
+    seen = set()
+    for c in chunks:
+        seen.update(c["text"].split())
+    assert len(seen) == 100
+
+
+def test_chunk_text_pages_and_headings():
+    from docling_jobkit_spark.extractor.extract import PAGE_JOIN
+    from docling_jobkit_spark.operators.chunker import chunk_text
+
+    p1 = " ".join(f"a{i}" for i in range(30))
+    p2 = " ".join(f"b{i}" for i in range(30))
+    text = "Title Here\n\n" + p1 + PAGE_JOIN + p2
+    spans = [{"start": 0, "end": 10, "kind": "heading", "path": "html/body/h1"}]
+    chunks = chunk_text(text, spans, max_tokens=16, overlap=0)
+    assert chunks[0]["headings"] == ["Title Here"]
+    assert chunks[0]["page_numbers"] == [1]
+    assert chunks[-1]["page_numbers"][-1] == 2
+
+
+def test_chunker_failure_propagation(spark):
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+
+    rows = [
+        ("u1", "SUCCESS", "some extracted text with several tokens inside", []),
+        ("u2", "FAILURE", "", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, status string, extracted_text string, "
+        "spans array<struct<start:long,end:long,kind:string,path:string>>",
+    )
+    out = chunk_documents(df).collect()
+    assert {r["url"] for r in out} == {"u1"}  # failed doc → zero chunks
+
+
+def test_lang_id_and_quality(spark, docs):
+    from docling_jobkit_spark.operators.textstats import lang_id, quality_features
+
+    preds = {
+        r["doc_id"]: r["p"]
+        for r in docs.select("doc_id", lang_id("text").alias("p")).collect()
+    }
+    assert preds[0] == "en" and preds[2] == "de" and preds[5] == "und"
+
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[5]["n_tokens"] == 0
+
+
+def test_multimodal_stub_and_relational_agree(spark):
+    from docling_jobkit_spark.operators.multimodal import (
+        decode_image,
+        extract_media_metadata,
+        media_metadata_relational,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+
+    rows = [("m1", b"payload-bytes-1"), ("m2", b"other-payload")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    udf_meta = {
+        r["media_id"]: r for r in extract_media_metadata(df).collect()
+    }
+    rel_meta = {
+        r["media_id"]: r for r in media_metadata_relational(df).collect()
+    }
+    for mid in ("m1", "m2"):
+        for k in ("n_bytes", "content_hash", "width", "height"):
+            assert udf_meta[mid][k] == rel_meta[mid][k], (mid, k)
+
+
+def test_binary_file_scan_junk_filter(spark, tmp_path):
+    from docling_jobkit_spark.sources.readers import binary_files_as_pages, scan_binary_files
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.html").write_bytes(b"<p>hello content</p>")
+    (d / ".hidden").write_bytes(b"junk")
+    (d / "Thumbs.db").write_bytes(b"junk")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "b.html").write_bytes(b"<p>more content</p>")
+
+    scanned = scan_binary_files(spark, str(d), glob="*", recursive=True)
+    paths = [r["path"].split("/")[-1] for r in scanned.collect()]
+    assert sorted(paths) == ["a.html", "b.html"]
+    pages = binary_files_as_pages(scanned)
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
