@@ -59,7 +59,7 @@ def _noop_write(df: DataFrame) -> int:
 def main() -> None:
     from docling_jobkit_spark.session import get_spark
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS, tuned=True)
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()

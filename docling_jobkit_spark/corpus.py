@@ -105,18 +105,33 @@ def _page_shell(rng: random.Random, body: str, lang: str) -> str:
     )
 
 
-def generate_pages(n: int, seed: int = 42) -> list[dict]:
-    """Generate n corpus rows. Row i is fully determined by (seed, i)."""
+def generate_pages(
+    n: int,
+    seed: int = 42,
+    min_paras: int = 3,
+    max_paras: int = 8,
+    giant_paras: int = 400,
+) -> list[dict]:
+    """Generate n corpus rows. Row i is fully determined by the args.
+
+    Default paragraph counts give ~4 KB pages (fast unit tests); pass
+    e.g. ``min_paras=20, max_paras=60`` for a Common-Crawl-realistic
+    size profile (tens of KB per page) in benchmarks.
+    """
     rows: list[dict] = []
     for i in range(n):
         rng = random.Random((seed << 20) ^ i)
         lang = rng.choice(_LANGS)
         url = f"https://example{i % 97}.org/{rng.choice(_WORDS)}/{i}"
         kind = i % 20
+
+        def body(lo=min_paras, hi=max_paras):
+            return _article_body(rng, rng.randint(lo, hi))
+
         if kind == 17:  # empty html
             html = b""
         elif kind == 18:  # non-UTF8 bytes mixed into a real page
-            page = _page_shell(rng, _article_body(rng), lang)
+            page = _page_shell(rng, body(), lang)
             html = page.encode("utf-8") + b"\xff\xfe\x80<p>tail of broken bytes content</p>"
         elif kind == 19:  # broken/unclosed tags
             html = (
@@ -131,14 +146,14 @@ def generate_pages(n: int, seed: int = 42) -> list[dict]:
         elif kind == 15:  # multi-page payload (slice fan-out case)
             n_pages = rng.randint(3, 6)
             pages = [
-                _page_shell(rng, _article_body(rng, rng.randint(2, 4)), lang)
+                _page_shell(rng, body(max(min_paras // 2, 2), max(max_paras // 2, 4)), lang)
                 for _ in range(n_pages)
             ]
             html = b"<!--PAGE_BREAK-->".join(p.encode("utf-8") for p in pages)
         elif kind == 16 and i % 100 == 16:  # giant page (skew case), ~1/100 rows
-            html = _page_shell(rng, _article_body(rng, 400), lang).encode("utf-8")
+            html = _page_shell(rng, _article_body(rng, giant_paras), lang).encode("utf-8")
         else:
-            html = _page_shell(rng, _article_body(rng), lang).encode("utf-8")
+            html = _page_shell(rng, body(), lang).encode("utf-8")
 
         # duplicate urls: every 41st row repeats the url of the previous row
         if i % 41 == 40 and rows:

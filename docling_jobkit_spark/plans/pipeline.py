@@ -43,6 +43,12 @@ class PipelineConfig:
     pages_per_slice: int = 2                   # slice fan-out width
     slice_min_pages: int = 3                   # docs at/above this get sliced
     use_slicing: bool = True
+    # Salted repartition moves the FULL html payload through a shuffle.
+    # At scale that is only worth it when the scan partitioning is skewed
+    # (many giant docs in one input split); otherwise rely on scan-time
+    # file splitting (spark.sql.files.maxPartitionBytes) + slice-explode
+    # of oversized docs, and keep the payload bytes off the shuffle.
+    repartition: bool = True
 
 
 class ExtractionPipeline:
@@ -66,7 +72,8 @@ class ExtractionPipeline:
         """The core transform, without commit bookkeeping."""
         cfg = self.config
         admitted, rejected = admission_split(pages, max_bytes=cfg.max_bytes)
-        admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
+        if cfg.repartition:
+            admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
         if cfg.use_slicing:
             extracted = extract_documents_sliced(
                 admitted,

@@ -19,6 +19,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "24g",
+    tuned: bool = False,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
@@ -28,6 +29,15 @@ def get_spark(
     the same code runs under spark-submit with master/partitions supplied by
     the deployment, so nothing here hard-codes local-only behavior beyond
     the master URL.
+
+    ``tuned=True`` applies the measured throughput profile for the
+    pandas-UDF extraction workload (see BENCH.md for the evidence):
+    - ParallelGC: the output is a high-rate churn of large short-lived
+      strings; G1's concurrent machinery costs ~30% at 32 cores;
+    - larger Arrow batches + IPC buffer and unix-domain sockets: fewer
+      JVM↔python wakeups (expensive on virtualized hosts);
+    - a persistent python-worker pool: without it, idle workers are
+      reaped between stages and every stage pays a fork+import stampede.
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cores
@@ -45,6 +55,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.ui.enabled", "false")
     )
+    if tuned:
+        for k, v in {
+            "spark.driver.extraJavaOptions":
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}",
+            "spark.python.factory.idleWorkerMaxPoolSize": str(cores * 8),
+            "spark.buffer.size": "1048576",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+            "spark.python.unix.domain.socket.enabled": "true",
+        }.items():
+            builder = builder.config(k, v)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

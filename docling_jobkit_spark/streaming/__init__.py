@@ -1,0 +1,4 @@
+from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
+    stream_extract,
+    start_file_stream,
+)

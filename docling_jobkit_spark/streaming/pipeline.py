@@ -1,0 +1,81 @@
+"""Structured-Streaming variant — the queue-semantics analog.
+
+The reference's durable-queue orchestrators (asyncio FIFO
+``orchestrators/local/orchestrator.py:41-135``, Redis LPUSH + dispatcher
+``ray/dispatcher.py:290-405``, RQ worker ``rq/worker.py``) exist to give
+batch conversion *queue semantics*: new work arrives continuously, gets
+dispatched under backpressure, and completed work is durably recorded.
+
+Structured Streaming gives all of that natively:
+
+- arrival: ``readStream`` on the pages table/directory — new parquet
+  files are the queue (``latestFirst``/``maxFilesPerTrigger`` = the
+  dispatcher's admission + backpressure knobs, O8);
+- processing: the SAME ``extract_documents`` operator — mapInPandas is
+  streaming-transparent, zero code change;
+- durability/exactly-once: the sink checkpointLocation + file-sink
+  manifest give first-terminal-state-wins semantics (the Redis
+  WATCH/MULTI analog, O5) — a restarted query replays only uncommitted
+  files;
+- drain-and-stop: ``Trigger.AvailableNow`` processes the backlog with
+  backpressure then exits — the batch-job-over-a-queue shape the
+  reference's CLI paths implement by hand.
+
+No watermarks/stateful operators are needed: per-document conversion is
+stateless (the reference has no event-time semantics either, SURVEY
+§2.8). Aggregation of metrics in streaming mode uses the same
+relational ``partition_metrics`` over the committed output table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from docling_jobkit_spark.operators.extract_op import extract_documents
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """readStream over a pages directory → streaming extraction DF.
+
+    ``max_files_per_trigger`` is the backpressure knob (the reference's
+    per-tenant ``max_queued_tasks`` / admission gate, O8).
+    """
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir)
+    return extract_documents(pages, max_bytes=max_bytes)
+
+
+def start_file_stream(
+    results: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming sink with exactly-once file commits.
+
+    ``Trigger.AvailableNow`` = drain the current queue then stop (the
+    batch-CLI shape); pass ``available_now=False`` for a continuous
+    micro-batch service (the Ray-orchestrator shape).
+    """
+    writer = (
+        results.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
