@@ -142,11 +142,15 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
+    """3-word-shingle Jaccard near-dup pairs, lang-blocked, J ≥ 1/2.
+    (Word-SET Jaccard is degenerate on a small shared vocabulary —
+    nearly every same-lang pair matches; shingles discriminate.)"""
     from docling_jobkit_spark.operators.dedup import jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
     return jaccard_pairs(
-        docs, block_cols=("lang",), threshold_num=3, threshold_den=5
+        docs, block_cols=("lang",), threshold_num=1, threshold_den=2,
+        shingle_k=3, prefix_filter=True,
     ).select("id_a", "id_b", "n_common", "n_union", "jaccard")
 
 
@@ -352,6 +356,42 @@ def _q_multimodal_meta(spark, sf_dir):
     return media_metadata_relational(media)
 
 
+def _q_join_orders_customer(spark, sf_dir):
+    """Broadcast dim join: orders ⋈ customer with per-segment rollup.
+    (The reference has no general joins — SURVEY §2.8 — but a complete
+    engine needs them; the dim side is explicitly broadcast.)"""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def _q_join_multiway(spark, sf_dir):
+    """3-way join: customer ⋈ nation ⋈ region, counts per region."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": _q_flagship_extract,
@@ -379,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_merge_agg": _q_map_merge,
         "sort_distinct_array": _q_sort_distinct,
         "agg_lineitem_q1": _q_agg_lineitem,
+        "join_orders_customer": _q_join_orders_customer,
+        "join_multiway": _q_join_multiway,
         "events_hourly": _q_events_hourly,
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -461,17 +503,24 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": """
             with w as (
               select doc_id, lang,
-                     list_distinct(string_split_regex(trim(lower(text)),'\\s+')) as words
+                     string_split_regex(trim(lower(text)),'\\s+') as words
               from documents
+            ), s as (
+              select doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words)-2, 1) + 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                     )) as sh
+              from w
             )
             select a.doc_id as id_a, b.doc_id as id_b,
-                   len(list_intersect(a.words, b.words))::int as n_common,
-                   (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))::int as n_union,
-                   round(len(list_intersect(a.words, b.words))
-                         / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) as jaccard
-            from w a join w b on a.lang = b.lang and a.doc_id < b.doc_id
-            where len(list_intersect(a.words, b.words)) * 5
-                  >= (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) * 3
+                   len(list_intersect(a.sh, b.sh))::int as n_common,
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::int as n_union,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) as jaccard
+            from s a join s b on a.lang = b.lang and a.doc_id < b.doc_id
+            where len(list_intersect(a.sh, b.sh)) * 2
+                  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1
         """,
         "ann_cosine_topk": """
             with q as (select embedding as e from embeddings where vec_id = 0)
@@ -556,6 +605,22 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_shipdate <= timestamp '1998-09-02 00:00:00'
             group by l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            select c_mktsegment,
+                   count(*) as n_orders,
+                   round(sum(cast(o_totalprice as decimal(18,4))), 2)::double as total_price
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "join_multiway": """
+            select r_name,
+                   count(*) as n_customers,
+                   round(sum(cast(c_acctbal as decimal(18,4))), 2)::double as total_acctbal
+            from customer
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name
         """,
         "events_hourly": """
             select epoch(date_trunc('hour', ts))::bigint as hour_epoch,

@@ -1,0 +1,5 @@
+from docling_jobkit_spark.sinks.writers import (  # noqa: F401
+    write_results,
+    write_manifest,
+    MAX_FILE_BYTES,
+)

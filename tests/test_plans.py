@@ -1,0 +1,72 @@
+"""Physical-plan audits — the .explain checks the 100 TB design relies on
+(SURVEY §4): column pruning to the scan, filter pushdown, broadcast for
+dim joins, no payload shuffle when repartition is disabled."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_admission_filters_pushed_to_scan(spark, pages_path):
+    from docling_jobkit_spark.operators.admission import admission_split
+
+    pages = spark.read.parquet(pages_path)
+    admitted, _ = admission_split(pages, max_bytes=10_000)
+    plan = _plan(admitted)
+    # the null/size predicates must appear as data filters at the scan,
+    # not only post-scan (parquet can't evaluate length(), but IsNotNull
+    # reaches PushedFilters)
+    assert "PushedFilters: [IsNotNull(html)]" in plan or "IsNotNull(html)" in plan
+
+
+def test_extraction_scan_prunes_columns(spark, pages_path):
+    from docling_jobkit_spark.operators.extract_op import extract_documents
+
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(extract_documents(pages))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "warc_ts" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["join_multiway"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_payload_shuffle_when_repartition_disabled(spark, pages_path):
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(use_slicing=False, repartition=False),
+    )
+    plan = _plan(pipe.extract(spark.read.parquet(pages_path)))
+    assert "Exchange" not in plan  # html bytes never cross a shuffle
+
+
+def test_topk_uses_takeordered(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["topk_customers"](spark, sf_dir))
+    # global orderBy+limit must compile to TakeOrderedAndProject, not a
+    # full sort of the table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["agg_lineitem_q1"](spark, sf_dir))
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
