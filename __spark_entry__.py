@@ -356,6 +356,72 @@ def _q_multimodal_meta(spark, sf_dir):
     return media_metadata_relational(media)
 
 
+def _q_export_markdown(spark, sf_dir):
+    """P1: multi-format export projection (markdown, pure JVM transform
+    over spans)."""
+    from docling_jobkit_spark.operators.export import export_documents
+
+    out = _q_flagship_extract_full(spark, sf_dir)
+    return export_documents(out, formats=("md", "txt")).select("url", "status", "md")
+
+
+def _q_doc_features(spark, sf_dir):
+    """P4: per-document feature counts from the span structure."""
+    from docling_jobkit_spark.operators.export import document_features
+
+    return document_features(_q_flagship_extract_full(spark, sf_dir))
+
+
+def _q_flagship_extract_full(spark, sf_dir):
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    return pipe.extract(pages)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, label-blocked."""
+    from docling_jobkit_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.25)
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex pre-tokenization counts."""
+    from docling_jobkit_spark.functions.scalar import bpe_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_bpe"),
+    )
+
+
+def _q_rolling_hash(spark, sf_dir):
+    """Rolling-hash document fingerprint (polynomial char fold)."""
+    from docling_jobkit_spark.functions.scalar import rolling_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: coarse quantize, probe 2 cells, exact re-rank."""
+    from docling_jobkit_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, k=8)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=5, n_probe=2)
+
+
 def _q_join_orders_customer(spark, sf_dir):
     """Broadcast dim join: orders ⋈ customer with per-segment rollup.
     (The reference has no general joins — SURVEY §2.8 — but a complete
@@ -423,6 +489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_multiway": _q_join_multiway,
         "events_hourly": _q_events_hourly,
         "multimodal_meta": _q_multimodal_meta,
+        "bpe_tokens": _q_bpe_tokens,
+        "rolling_hash": _q_rolling_hash,
+        "ivf_topk": _q_ivf_topk,
+        "export_markdown": _q_export_markdown,
+        "doc_features": _q_doc_features,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -523,10 +595,10 @@ def oracle_sql() -> dict[str, str]:
                   >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1
         """,
         "ann_cosine_topk": """
-            with q as (select embedding as e from embeddings where vec_id = 0)
+            with q as (select embedding::DOUBLE[] as e from embeddings where vec_id = 0)
             select vec_id,
-                   round(list_dot_product(embedding, q.e)
-                         / (sqrt(list_dot_product(embedding, embedding))
+                   round(list_dot_product(embedding::DOUBLE[], q.e)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                             * sqrt(list_dot_product(q.e, q.e))), 6) as cosine
             from embeddings, q
             order by cosine desc, vec_id
@@ -626,6 +698,34 @@ def oracle_sql() -> dict[str, str]:
             select epoch(date_trunc('hour', ts))::bigint as hour_epoch,
                    event_type, count(*) as n
             from events group by 1, 2
+        """,
+        "bpe_tokens": """
+            select doc_id,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::int as n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::int as n_distinct_bpe
+            from documents
+        """,
+        "rolling_hash": """
+            select doc_id,
+                   list_reduce(
+                     list_prepend(0::bigint,
+                       list_transform(
+                         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ''),
+                         c -> ascii(c)::bigint)),
+                     (acc, x) -> (acc * 31 + x) % 1000000000000037
+                   ) as rhash
+            from documents
+        """,
+        "embedding_near_dup": """
+            with e as (select vec_id, label, embedding::DOUBLE[] as embedding from embeddings)
+            select a.vec_id as vec_id_a, b.vec_id as vec_id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) as cosine
+            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+            where round(list_dot_product(a.embedding, b.embedding)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.25
         """,
         "multimodal_meta": """
             select 'doc-' || doc_id::varchar as media_id,

@@ -43,6 +43,32 @@ def fingerprint(col, n: int = 16) -> Column:
     return F.substring(F.sha2(normalized_text(col), 256), 1, n)
 
 
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, single
+    punctuation marks (the GPT-2-style regex family, simplified to a
+    class-portable pattern that behaves identically in DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def rolling_hash(col, base: int = 31, mod: int = 10**15 + 37) -> Column:
+    """Polynomial rolling hash over the characters of the normalized
+    text: h = h*base + code(char) (mod p), a pure left fold in integer
+    arithmetic — identical in any engine with ascii() and a list fold,
+    unlike engine-native hash functions. mod < 2^50 keeps h*base far
+    from long overflow. ASCII corpora only (codepoint semantics of
+    ascii() differ across engines beyond ASCII)."""
+    chars = F.split(normalized_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
 def tokens(col) -> Column:
     """Whitespace tokenization with exact empty-string semantics shared
     with the DuckDB oracle (`string_split_regex(trim(x),'\\s+')`)."""

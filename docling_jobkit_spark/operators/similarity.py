@@ -56,6 +56,40 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector analog of the
+    text dedup family): blocked self-join + exact cosine.
+
+    The optional ``block_col`` is the same candidate-capping idea as the
+    lang block in text dedup; at corpus scale replace it with the LSH
+    signature (``lsh_signature``) as the join key — same plan shape.
+    Threshold compared on the ROUNDED value so the result set is
+    identical across engines."""
+    names = ["id", "v"] + (["blk"] if block_col else [])
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in names])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in names])
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    pairs = a.join(b, on=cond)
+    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+    return pairs.select(
+        F.col("id_a").alias("vec_id_a"),
+        F.col("id_b").alias("vec_id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 # --- random-hyperplane LSH --------------------------------------------------
 
 
@@ -89,6 +123,68 @@ def lsh_signature(vec_col, dim: int, n_bits: int = 12, table: int = 0) -> Column
         )
         sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (argmax cosine) — pure relational, one pass.
+
+    Centroids are provided by the caller (deterministic sample or a
+    trained codebook); at scale the cell id becomes a partition/bucket
+    column so probes prune partitions instead of scanning."""
+    best_cell = F.lit(-1)
+    best_cos = F.lit(-2.0)
+    v = F.col(vec_col)
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cos = cosine_col(v, cvec)
+        improved = cos > best_cos
+        best_cell = F.when(improved, F.lit(i)).otherwise(best_cell)
+        best_cos = F.when(improved, cos).otherwise(best_cos)
+    return df.withColumn("ivf_cell", best_cell)
+
+
+def deterministic_centroids(
+    df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """k seed centroids: the k lowest-id vectors (deterministic; a real
+    deployment would run k-means — the plan shape is identical)."""
+    rows = df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the n_probe cells nearest to the query, exact
+    re-rank inside. The candidate filter is a partition-prunable
+    predicate on ivf_cell."""
+    import math
+
+    def py_cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -2.0
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-py_cos(query_vec, centroids[i]), i),
+    )[:n_probe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    return brute_force_topk(
+        assigned.filter(F.col("ivf_cell").isin(probe)), query_vec, k, vec_col, id_col
+    )
 
 
 def ann_topk(
