@@ -55,6 +55,37 @@ LINK_DENSITY_DEN = 3         # ... i.e. link density < 1/3
 HEADING_LINK_NUM = 1
 HEADING_LINK_DEN = 2         # headings tolerate link density < 1/2
 
+
+@dataclass(frozen=True)
+class ExtractionProfile:
+    """Named extraction preset — the analog of the reference's pluggable
+    stage-preset registry (``convert/manager.py:484-703``): a job selects
+    a profile by name; all thresholds stay integers for determinism."""
+
+    name: str
+    min_good_chars: int = MIN_GOOD_CHARS
+    min_short_chars: int = MIN_SHORT_CHARS
+    min_heading_chars: int = MIN_HEADING_CHARS
+    link_density_num: int = LINK_DENSITY_NUM
+    link_density_den: int = LINK_DENSITY_DEN
+    heading_link_den: int = HEADING_LINK_DEN
+
+
+PROFILES: dict[str, ExtractionProfile] = {
+    "default": ExtractionProfile("default"),
+    # strict: longer blocks required, lower link tolerance — high-precision
+    # corpus building
+    "strict": ExtractionProfile(
+        "strict", min_good_chars=40, min_short_chars=15,
+        link_density_num=1, link_density_den=5, heading_link_den=3,
+    ),
+    # lenient: keep shorter blocks, tolerate more links — high-recall
+    "lenient": ExtractionProfile(
+        "lenient", min_good_chars=15, min_short_chars=5,
+        link_density_num=1, link_density_den=2,
+    ),
+}
+
 PAGE_BREAK = b"<!--PAGE_BREAK-->"
 PAGE_JOIN = "\f"
 
@@ -97,7 +128,7 @@ def split_pages(html: bytes) -> list[bytes]:
     return html.split(PAGE_BREAK)
 
 
-def _classify(blocks: list[tok.Block]) -> list[int]:
+def _classify(blocks: list[tok.Block], p: ExtractionProfile) -> list[int]:
     labels = []
     for b in blocks:
         if b.in_boilerplate:
@@ -105,17 +136,17 @@ def _classify(blocks: list[tok.Block]) -> list[int]:
             continue
         tl = b.text_len
         if b.kind == "heading":
-            # headings tolerate link density up to (but below) 1/2
-            if tl >= MIN_HEADING_CHARS and b.link_chars * HEADING_LINK_DEN < tl:
+            # headings tolerate a higher link density than body blocks
+            if tl >= p.min_heading_chars and b.link_chars * p.heading_link_den < tl:
                 labels.append(_HEADING)
             else:
                 labels.append(_BAD)
             continue
-        if tl < MIN_SHORT_CHARS:
+        if tl < p.min_short_chars:
             labels.append(_BAD)
             continue
-        low_link = b.link_chars * LINK_DENSITY_DEN < tl * LINK_DENSITY_NUM
-        if tl >= MIN_GOOD_CHARS and low_link:
+        low_link = b.link_chars * p.link_density_den < tl * p.link_density_num
+        if tl >= p.min_good_chars and low_link:
             labels.append(_GOOD)
         elif low_link:
             labels.append(_SHORT)
@@ -158,9 +189,11 @@ def _heading_pass(labels: list[int]) -> list[int]:
     return out
 
 
-def _extract_single_page(html_text: str) -> tuple[str, list[Span]]:
+def _extract_single_page(
+    html_text: str, profile: ExtractionProfile
+) -> tuple[str, list[Span]]:
     blocks = tok.tokenize_blocks(html_text)
-    labels = _heading_pass(_smooth(_classify(blocks)))
+    labels = _heading_pass(_smooth(_classify(blocks, profile)))
     parts: list[str] = []
     spans: list[Span] = []
     offset = 0
@@ -177,12 +210,16 @@ def _extract_single_page(html_text: str) -> tuple[str, list[Span]]:
 
 
 def extract_page_range(
-    html: bytes, page_lo: int, page_hi: int
+    html: bytes,
+    page_lo: int,
+    page_hi: int,
+    profile: ExtractionProfile | None = None,
 ) -> tuple[str, list[Span], int]:
     """Extract pages [page_lo, page_hi] (1-based inclusive) of a paged
     payload. Returns (text, spans, n_pages_total). Used by the slice
     fan-out operator; ``extract`` == concat of slices joined by PAGE_JOIN.
     """
+    profile = profile or PROFILES["default"]
     pages = split_pages(html)
     n = len(pages)
     lo = max(1, page_lo)
@@ -192,7 +229,7 @@ def extract_page_range(
     offset = 0
     for idx in range(lo - 1, hi):
         text, page_spans = _extract_single_page(
-            pages[idx].decode("utf-8", errors="replace")
+            pages[idx].decode("utf-8", errors="replace"), profile
         )
         if parts:
             offset += len(PAGE_JOIN)
@@ -207,6 +244,7 @@ def extract(
     html: bytes | None,
     url: str | None = None,
     max_bytes: int | None = None,
+    profile: ExtractionProfile | str | None = None,
 ) -> ExtractResult:
     """The flagship per-document map (analog of the reference's
     ``DoclingConverterManager.convert_documents``,
@@ -239,7 +277,9 @@ def extract(
         except UnicodeDecodeError:
             had_decode_errors = True
 
-        text, spans, n_pages = extract_page_range(html, 1, 1 << 30)
+        if isinstance(profile, str):
+            profile = PROFILES[profile]
+        text, spans, n_pages = extract_page_range(html, 1, 1 << 30, profile)
         if not text:
             return ExtractResult(url, STATUS_PARTIAL, "", spans=[], n_pages=n_pages)
         status = STATUS_PARTIAL if had_decode_errors else STATUS_SUCCESS

@@ -69,11 +69,15 @@ RESULT_SCHEMA = T.StructType(
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], max_bytes: int | None
+    batches: Iterator[pd.DataFrame], max_bytes: int | None, profile: str
 ) -> Iterator[pd.DataFrame]:
     # import inside the worker so the function closure stays tiny when
-    # pickled to executors (standard pandas-UDF pattern)
-    from docling_jobkit_spark.extractor.extract import extract
+    # pickled to executors (standard pandas-UDF pattern); the profile
+    # travels as its NAME and resolves once per worker — the analog of
+    # the reference's options-hash converter cache (manager.py:369-479)
+    from docling_jobkit_spark.extractor.extract import PROFILES, extract
+
+    prof = PROFILES[profile]
 
     for pdf in batches:
         urls = pdf["url"].tolist()
@@ -84,7 +88,7 @@ def _extract_batches(
         }
         for url, html in zip(urls, htmls):
             payload = bytes(html) if html is not None else None
-            res = extract(payload, url, max_bytes=max_bytes)
+            res = extract(payload, url, max_bytes=max_bytes, profile=prof)
             out["url"].append(url)
             out["status"].append(res.status)
             out["extracted_text"].append(res.text)
@@ -99,6 +103,7 @@ def _extract_batches(
 def extract_documents(
     pages: DataFrame,
     max_bytes: int | None = None,
+    profile: str = "default",
 ) -> DataFrame:
     """pages(url, html, ...) → results(RESULT_SCHEMA).
 
@@ -108,5 +113,5 @@ def extract_documents(
     """
     pruned = pages.select("url", "html")
     return pruned.mapInPandas(
-        lambda it: _extract_batches(it, max_bytes), schema=RESULT_SCHEMA
+        lambda it: _extract_batches(it, max_bytes, profile), schema=RESULT_SCHEMA
     )

@@ -84,9 +84,13 @@ def explode_slices(pages_with_count: DataFrame, pages_per_slice: int) -> DataFra
     )
 
 
-def _extract_slice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from docling_jobkit_spark.extractor.extract import extract_page_range
+def _extract_slice_batches(
+    batches: Iterator[pd.DataFrame], profile: str = "default"
+) -> Iterator[pd.DataFrame]:
+    from docling_jobkit_spark.extractor.extract import PROFILES, extract_page_range
     from docling_jobkit_spark.extractor.errors import classify_failure
+
+    prof = PROFILES[profile]
 
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in (
@@ -98,7 +102,7 @@ def _extract_slice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         ):
             payload = bytes(html)
             try:
-                text, spans, n_pages = extract_page_range(payload, int(lo), int(hi))
+                text, spans, n_pages = extract_page_range(payload, int(lo), int(hi), prof)
                 try:
                     payload.decode("utf-8", errors="strict")
                     clean = True
@@ -121,9 +125,11 @@ def _extract_slice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         yield pd.DataFrame(out)
 
 
-def extract_slices(slices: DataFrame) -> DataFrame:
+def extract_slices(slices: DataFrame, profile: str = "default") -> DataFrame:
     cols = slices.select("url", "html", "slice_index", "page_lo", "page_hi")
-    return cols.mapInPandas(_extract_slice_batches, schema=SLICE_RESULT_SCHEMA)
+    return cols.mapInPandas(
+        lambda it: _extract_slice_batches(it, profile), schema=SLICE_RESULT_SCHEMA
+    )
 
 
 def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -194,6 +200,7 @@ def extract_documents_sliced(
     pages_per_slice: int = 2,
     slice_min_pages: int = 3,
     max_bytes: int | None = None,
+    profile: str = "default",
 ) -> DataFrame:
     """Route: multi-page docs above the slice threshold go through
     explode → slice-extract → reassemble; everything else takes the
@@ -203,8 +210,8 @@ def extract_documents_sliced(
     big = counted.filter(F.col("n_pages") >= slice_min_pages)
     small = counted.filter(F.col("n_pages") < slice_min_pages).drop("n_pages")
 
-    direct = extract_documents(small, max_bytes=max_bytes)
+    direct = extract_documents(small, max_bytes=max_bytes, profile=profile)
     sliced = reassemble_slices(
-        extract_slices(explode_slices(big, pages_per_slice))
+        extract_slices(explode_slices(big, pages_per_slice), profile)
     )
     return direct.unionByName(sliced)

@@ -49,6 +49,7 @@ class PipelineConfig:
     # file splitting (spark.sql.files.maxPartitionBytes) + slice-explode
     # of oversized docs, and keep the payload bytes off the shuffle.
     repartition: bool = True
+    profile: str = "default"                   # extraction preset (T3 registry)
 
 
 class ExtractionPipeline:
@@ -79,9 +80,10 @@ class ExtractionPipeline:
                 admitted,
                 pages_per_slice=cfg.pages_per_slice,
                 slice_min_pages=cfg.slice_min_pages,
+                profile=cfg.profile,
             )
         else:
-            extracted = extract_documents(admitted)
+            extracted = extract_documents(admitted, profile=cfg.profile)
         return extracted.unionByName(rejected)
 
     # -- resumable run -------------------------------------------------
