@@ -115,6 +115,10 @@ class ExtractResult:
     spans: list[Span] = field(default_factory=list)
     error: FailureInfo | None = None
     n_pages: int = 1
+    # per-stage seconds (reference: timings dict[str, ProfilingItem],
+    # exportable_document.py:67-69); values are wall-clock, NOT part of
+    # the byte-identical contract
+    timings: dict[str, float] = field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
@@ -279,11 +283,19 @@ def extract(
 
         if isinstance(profile, str):
             profile = PROFILES[profile]
+        import time as _time
+
+        t0 = _time.perf_counter()
         text, spans, n_pages = extract_page_range(html, 1, 1 << 30, profile)
+        timings = {"extract": _time.perf_counter() - t0}
         if not text:
-            return ExtractResult(url, STATUS_PARTIAL, "", spans=[], n_pages=n_pages)
+            return ExtractResult(
+                url, STATUS_PARTIAL, "", spans=[], n_pages=n_pages, timings=timings
+            )
         status = STATUS_PARTIAL if had_decode_errors else STATUS_SUCCESS
-        return ExtractResult(url, status, text, spans=spans, n_pages=n_pages)
+        return ExtractResult(
+            url, status, text, spans=spans, n_pages=n_pages, timings=timings
+        )
     except Exception as exc:  # absolute backstop: failures are rows
         return ExtractResult(
             url, STATUS_FAILURE, "", error=classify_failure(exc, PHASE_EXTRACT)

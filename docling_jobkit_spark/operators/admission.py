@@ -66,6 +66,7 @@ def admission_split(
         F.lit(1).alias("n_pages"),
         F.coalesce(F.length("html").cast("long"), F.lit(0).cast("long")).alias("n_bytes"),
         F.lit(0).alias("n_spans"),
+        F.expr("map()").cast("map<string,double>").alias("timings"),
     )
     # lock the exact schema (nullable binary edge cases)
     rejected = rejected.select(

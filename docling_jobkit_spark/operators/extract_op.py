@@ -64,6 +64,7 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("n_spans", T.IntegerType()),
+        T.StructField("timings", T.MapType(T.StringType(), T.DoubleType())),
     ]
 )
 
@@ -85,6 +86,7 @@ def _extract_batches(
         out: dict[str, list] = {
             "url": [], "status": [], "extracted_text": [], "spans": [],
             "error": [], "n_pages": [], "n_bytes": [], "n_spans": [],
+            "timings": [],
         }
         for url, html in zip(urls, htmls):
             payload = bytes(html) if html is not None else None
@@ -97,6 +99,7 @@ def _extract_batches(
             out["n_pages"].append(res.n_pages)
             out["n_bytes"].append(len(payload) if payload is not None else 0)
             out["n_spans"].append(len(res.spans))
+            out["timings"].append(res.timings)
         yield pd.DataFrame(out)
 
 

@@ -49,6 +49,7 @@ SLICE_RESULT_SCHEMA = T.StructType(
         T.StructField("error", ERROR_TYPE),
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("timings", T.MapType(T.StringType(), T.DoubleType())),
     ]
 )
 
@@ -95,14 +96,18 @@ def _extract_slice_batches(
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in (
             "url", "slice_index", "status", "extracted_text",
-            "spans", "error", "n_pages", "n_bytes",
+            "spans", "error", "n_pages", "n_bytes", "timings",
         )}
         for url, html, sidx, lo, hi in zip(
             pdf["url"], pdf["html"], pdf["slice_index"], pdf["page_lo"], pdf["page_hi"]
         ):
             payload = bytes(html)
             try:
+                import time as _time
+
+                t0 = _time.perf_counter()
                 text, spans, n_pages = extract_page_range(payload, int(lo), int(hi), prof)
+                out["timings"].append({"extract": _time.perf_counter() - t0})
                 try:
                     payload.decode("utf-8", errors="strict")
                     clean = True
@@ -119,6 +124,7 @@ def _extract_slice_batches(
                 out["spans"].append([])
                 out["error"].append(classify_failure(exc).as_dict())
                 out["n_pages"].append(0)
+                out["timings"].append({})
             out["url"].append(url)
             out["slice_index"].append(int(sidx))
             out["n_bytes"].append(len(payload))
@@ -144,6 +150,7 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     offset = 0
     statuses = list(pdf["status"])
     first_error = None
+    merged_timings: dict[str, float] = {}
     for _, row in pdf.iterrows():
         if row["status"] == "FAILURE":
             err = row["error"]
@@ -164,6 +171,11 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                     "path": s["path"],
                 }
             )
+        row_t = row["timings"]
+        if row_t is not None:
+            # F3 map-merge: sum per stage across slices
+            for k, v in dict(row_t).items():
+                merged_timings[k] = merged_timings.get(k, 0.0) + float(v)
         parts.append(row["extracted_text"])
         offset += len(row["extracted_text"])
     if all(s == "FAILURE" for s in statuses):
@@ -185,6 +197,7 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_pages": [int(pdf["n_pages"].max())],
             "n_bytes": [int(pdf["n_bytes"].iloc[0])],
             "n_spans": [len(spans)],
+            "timings": [merged_timings],
         }
     )
 
