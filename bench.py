@@ -122,10 +122,30 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
                 **extras,
+                **_recorded_scaling(),
             }
         )
     )
     spark.stop()
+
+
+def _recorded_scaling() -> dict:
+    """Surface the most recent scaling_bench.py result (BENCH.md) — the
+    north-rule N-vs-4N evidence — alongside the per-round timings."""
+    import re
+
+    try:
+        text = open(os.path.join(os.path.dirname(__file__), "BENCH.md")).read()
+        effs = re.findall(r"scaling efficiency: \*\*([0-9.]+)\*\*", text)
+        levels = re.findall(r"levels=(\d+)/(\d+)", text)
+        if effs:
+            out = {"scaling_efficiency": float(effs[-1]), "scaling_gate": ">=0.8"}
+            if levels:
+                out["scaling_levels"] = f"{levels[-1][0]}v{levels[-1][1]}"
+            return out
+    except OSError:
+        pass
+    return {}
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
     stream_extract,
     start_file_stream,
+    stream_hourly_rollup,
 )

@@ -58,6 +58,38 @@ def stream_extract(
     return extract_documents(pages, max_bytes=max_bytes)
 
 
+def stream_hourly_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation — the stateful
+    streaming rollup (late events beyond the watermark are dropped,
+    state is bounded). The streaming twin of the batch ``events_hourly``
+    query; the reference has no event-time semantics (SURVEY §2.8), this
+    is engine-completeness for the streaming surface.
+    """
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(schema_ddl).format("parquet").load(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("total_value"),
+        )
+    )
+
+
 def start_file_stream(
     results: DataFrame,
     output_dir: str,

@@ -34,3 +34,45 @@ def test_stream_drain_and_incremental_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 85  # 60 + 25, no reprocessing
     assert out.select("url").distinct().count() >= 80
+
+
+def test_watermarked_hourly_rollup(spark, tmp_path, sf_dir):
+    """Stateful windowed agg over a file stream of events; complete
+    drain (AvailableNow) must equal the batch hourly rollup."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.streaming import stream_hourly_rollup
+
+    indir = str(tmp_path / "ev")
+    os.makedirs(indir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{indir}/events.parquet")
+
+    rollup = stream_hourly_rollup(spark, indir)
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_rollup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from hourly_rollup").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    exp = {(r["ws"], r["event_type"]): r["n"] for r in batch}
+    # append-mode emits only windows closed by the watermark; every
+    # emitted window must match the batch answer exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
