@@ -344,6 +344,24 @@ def _q_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+def _q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in streaming/stateful.py)."""
+    from docling_jobkit_spark.streaming.stateful import batch_sessions
+
+    ev = _read(spark, sf_dir, "events")
+    s = batch_sessions(ev)
+    return s.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias("start_epoch"),
+        F.col("session_end").cast("timestamp").cast("long").alias("end_epoch"),
+        "n_events",
+        F.round(F.col("total_value").cast("decimal(18,6)"), 3)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     """Binary-payload metadata pass (relational form of the stub decoder)."""
     from docling_jobkit_spark.operators.multimodal import media_metadata_relational
@@ -489,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_multiway": _q_join_multiway,
         "events_hourly": _q_events_hourly,
         "multimodal_meta": _q_multimodal_meta,
+        "sessionization": _q_sessionization,
         "bpe_tokens": _q_bpe_tokens,
         "rolling_hash": _q_rolling_hash,
         "ivf_topk": _q_ivf_topk,
@@ -726,6 +745,26 @@ def oracle_sql() -> dict[str, str]:
             where round(list_dot_product(a.embedding, b.embedding)
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.25
+        """,
+        "sessionization": """
+            with g as (
+              select user_id, ts, value,
+                     case when floor(epoch(ts))::bigint - lag(floor(epoch(ts))::bigint, 1, 0)
+                              over (partition by user_id order by ts) > 1800
+                          then 1 else 0 end as new_session,
+                     row_number() over (partition by user_id order by ts) as rn
+              from events
+            ), s as (
+              select *, sum(case when rn = 1 then 1 else new_session end)
+                        over (partition by user_id order by ts rows unbounded preceding) as session_id
+              from g
+            )
+            select user_id,
+                   floor(epoch(min(ts)))::bigint as start_epoch,
+                   floor(epoch(max(ts)))::bigint as end_epoch,
+                   count(*)::int as n_events,
+                   round(sum(cast(value as decimal(18,6))), 3)::double as total_value
+            from s group by user_id, session_id
         """,
         "multimodal_meta": """
             select 'doc-' || doc_id::varchar as media_id,

@@ -3,3 +3,7 @@ from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
     start_file_stream,
     stream_hourly_rollup,
 )
+from docling_jobkit_spark.streaming.stateful import (  # noqa: F401
+    stream_sessions,
+    batch_sessions,
+)

@@ -76,3 +76,40 @@ def test_watermarked_hourly_rollup(spark, tmp_path, sf_dir):
     assert got
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_stateful_sessionization_matches_batch_twin(spark, tmp_path, sf_dir):
+    """applyInPandasWithState gap-sessions: every session emitted by the
+    streaming operator must exactly equal a batch-computed session; only
+    sessions still open at drain end may be missing."""
+    import shutil
+
+    from docling_jobkit_spark.streaming import batch_sessions, stream_sessions
+
+    indir = str(tmp_path / "ev2")
+    os.makedirs(indir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{indir}/events.parquet")
+
+    q = (
+        stream_sessions(spark, indir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_t")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_sessions(spark.read.parquet(f"{indir}/events.parquet")).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got <= exp
+    # at most one open (unemitted) session per user remains
+    n_users = spark.read.parquet(f"{indir}/events.parquet").select("user_id").distinct().count()
+    assert len(exp - got) <= n_users
