@@ -85,6 +85,68 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(payload: bytes, every_ms: int, fake: bool = False) -> list[dict]:
+    """Video frame sampling — STUB (no codec libs in this container).
+
+    The deterministic fake derives a frame count from the payload hash
+    and emits byte-slice 'frames', so the Spark-side 1→N explode shape,
+    schema, and batch behavior are fully real and tested."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library not present in this "
+            "environment; use fake=True for the deterministic stub"
+        )
+    h = hashlib.sha256(payload).hexdigest()
+    n_frames = 1 + int(h[8:10], 16) % 8
+    w, h_px = int(h[:4], 16) % 1920, int(h[4:8], 16) % 1080
+    step = max(1, len(payload) // max(n_frames, 1))
+    return [
+        {
+            "frame_index": i,
+            "frame_ts_ms": i * every_ms,
+            "frame": payload[i * step : i * step + min(64, step)],
+            "width": w,
+            "height": h_px,
+        }
+        for i in range(n_frames)
+    ]
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame], every_ms: int) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "frame_index", "frame_ts_ms", "frame", "width", "height",
+        )}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for fr in sample_frames(bytes(payload), every_ms, fake=True):
+                out["media_id"].append(mid)
+                for k in ("frame_index", "frame_ts_ms", "frame", "width", "height"):
+                    out[k].append(fr[k])
+        if out["media_id"]:
+            yield pd.DataFrame(out)
+
+
+def explode_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """media(media_id, payload) → one row per sampled frame (the 1→N
+    multimodal explode; at scale the heavy frame bytes never leave the
+    task that decoded them — downstream feature extraction fuses in)."""
+    return media.select("media_id", "payload").mapInPandas(
+        lambda it: _frame_batches(it, every_ms), schema=FRAME_SCHEMA
+    )
+
+
 def media_metadata_relational(media: DataFrame) -> DataFrame:
     """The deterministic-fake metadata expressed RELATIONALLY (no Python)
     — bit-identical to the fake decoder, and SQL-oracle-checkable. At

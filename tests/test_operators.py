@@ -200,3 +200,25 @@ def test_binary_file_scan_junk_filter(spark, tmp_path):
     assert sorted(paths) == ["a.html", "b.html"]
     pages = binary_files_as_pages(scanned)
     assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_frame_sampling_explode(spark):
+    from docling_jobkit_spark.operators.multimodal import explode_frames, sample_frames
+
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"video-bytes", 1000)
+
+    rows = [("v1", b"fake-video-payload-" * 50), ("v2", b"tiny")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    frames = explode_frames(df, every_ms=500).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, fr in by_media.items():
+        idxs = sorted(f["frame_index"] for f in fr)
+        assert idxs == list(range(len(fr)))          # dense frame index
+        assert all(f["frame_ts_ms"] == f["frame_index"] * 500 for f in fr)
+        assert all(isinstance(bytes(f["frame"]), bytes) for f in fr)
+    # deterministic across runs
+    again = explode_frames(df, every_ms=500).collect()
+    assert sorted(map(str, frames)) == sorted(map(str, again))
