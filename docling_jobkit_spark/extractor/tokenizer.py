@@ -74,6 +74,9 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 
 
 def decode_entities(s: str) -> str:
+    if "&" not in s:  # fast path: most blocks carry no entities
+        return s
+
     def _sub(m: re.Match) -> str:
         body = m.group(1)
         if body.startswith("#"):
