@@ -75,3 +75,28 @@ def test_rerun_after_success_is_noop(spark, pages_path, tmp_path):
     assert mtimes == mtimes2  # nothing rewritten
     results = _read_results(spark, root)
     assert results.filter(results.run_id == "b").count() == 0
+
+
+def test_resume_with_slicing_enabled(spark, pages_path, corpus_rows, tmp_path):
+    """Commit groups compose with the slice-explode path: crash, resume,
+    final table byte-identical to the oracle."""
+    from docling_jobkit_spark.extractor import extract
+
+    cfg = PipelineConfig(
+        max_bytes=1 << 26, num_partitions=8, n_commit_groups=3, use_slicing=True
+    )
+    root = str(tmp_path / "out_sliced")
+    pipe = ExtractionPipeline(spark, cfg)
+    pages = spark.read.parquet(pages_path)
+    with pytest.raises(RuntimeError):
+        pipe.run(pages, root, run_id="s1", fail_after_groups=1)
+    pipe.run(pages, root, run_id="s2")
+    results = spark.read.parquet(f"{root}/results/group=*")
+    got = {
+        (r["url"], r["extracted_text"]) for r in results.select("url", "extracted_text").collect()
+    }
+    exp = {
+        (r["url"], extract(r["html"], r["url"], max_bytes=cfg.max_bytes).text)
+        for r in corpus_rows
+    }
+    assert got == exp
