@@ -550,6 +550,60 @@ _NTOK = (
 )
 
 
+
+def _minhash_oracle_sql() -> str:
+    """Exact DuckDB twin of minhash_near_duplicates: identical 52-bit
+    sha-prefix shingle hashes, identical (a·x+b) mod p permutation
+    constants, identical banding — signatures verified bit-equal across
+    engines."""
+    from docling_jobkit_spark.operators.dedup import (
+        _A, _B, BANDS, MINHASH_PRIME, N_HASHES, ROWS_PER_BAND,
+    )
+
+    perms = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {_A[i]} + {_B[i] % (1 << 60)}) % {MINHASH_PRIME}))"
+        for i in range(N_HASHES)
+    )
+    r = ROWS_PER_BAND
+    return f"""
+        with w as (
+          select doc_id, string_split_regex(trim(lower(text)),'\\s+') as words from documents
+        ), sh as (
+          select doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(words)-2,1) + 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) as shingles
+          from w
+        ), hs as (
+          select doc_id, shingles,
+                 list_transform(shingles, s -> ('0x' || substr(sha256(s),1,13))::ubigint::bigint) as hs
+          from sh
+        ), sig as (
+          select doc_id, shingles, [{perms}] as sig from hs
+        ), bands as (
+          select doc_id, shingles, unnest(generate_series(0, {BANDS - 1})) as band, sig from sig
+        ), keyed as (
+          select doc_id, shingles, band,
+                 to_json(sig[band*{r}+1 : band*{r}+{r}]) as bucket
+          from bands
+        ), cand as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from keyed a join keyed b
+            on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+        ), j as (
+          select c.id_a, c.id_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) as ni,
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) as nu
+          from cand c
+          join sh sa on sa.doc_id = c.id_a
+          join sh sb on sb.doc_id = c.id_b
+        )
+        select id_a, id_b, round(ni / nu, 6) as jaccard
+        from j where ni * 5 >= nu * 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "status_counts": """
@@ -591,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
             from documents
             group by 1
         """,
+        "minhash_lsh": _minhash_oracle_sql(),
         "jaccard_pairs": """
             with w as (
               select doc_id, lang,
