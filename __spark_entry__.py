@@ -551,6 +551,25 @@ _NTOK = (
 
 
 
+
+_SIMHASH_CTE = """
+        with w as (
+          select doc_id, string_split_regex(trim(lower(text)),'\\s+') as toks from documents
+        ), h as (
+          select doc_id,
+                 list_transform(toks, t -> ('0x'||substr(sha256(t),1,14))::ubigint::bigint) as hs,
+                 len(toks) as n
+          from w
+        ), sh as (
+          select doc_id,
+                 list_sum(list_transform(range(0,48), i ->
+                   case when 2 * len(list_filter(hs, x -> ((x >> i) & 1) = 1)) > n
+                        then (1::bigint << i) else 0::bigint end))::bigint as simhash
+          from h
+        )
+"""
+
+
 def _minhash_oracle_sql() -> str:
     """Exact DuckDB twin of minhash_near_duplicates: identical 52-bit
     sha-prefix shingle hashes, identical (a·x+b) mod p permutation
@@ -646,6 +665,21 @@ def oracle_sql() -> dict[str, str]:
             group by 1
         """,
         "minhash_lsh": _minhash_oracle_sql(),
+        "simhash": _SIMHASH_CTE + "select doc_id, simhash from sh",
+        "simhash_pairs": _SIMHASH_CTE + """
+            , chunks as (
+              select doc_id, simhash, unnest(generate_series(0, 3)) as ci from sh
+            ), keyed as (
+              select doc_id, simhash, ci, (simhash >> (ci * 12)) & 4095 as cv from chunks
+            ), cand as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b,
+                     a.simhash as sa, b.simhash as sb
+              from keyed a join keyed b
+                on a.ci = b.ci and a.cv = b.cv and a.doc_id < b.doc_id
+            )
+            select id_a, id_b, bit_count(xor(sa, sb))::int as hamming
+            from cand where bit_count(xor(sa, sb)) <= 6
+        """,
         "jaccard_pairs": """
             with w as (
               select doc_id, lang,
