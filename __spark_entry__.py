@@ -133,11 +133,18 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
+    """Array result columns are serialized to CSV strings: the driver's
+    canonicalizer (pandas sort_values) cannot hash list-typed cells."""
     from docling_jobkit_spark.operators.dedup import exact_duplicates
 
     docs = _read(spark, sf_dir, "documents")
     return exact_duplicates(docs).select(
-        "content_hash", "canonical_id", "n_members", "member_ids"
+        "content_hash",
+        "canonical_id",
+        "n_members",
+        F.array_join(
+            F.transform("member_ids", lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
     )
 
 
@@ -300,10 +307,13 @@ def _q_map_merge(spark, sf_dir):
 
 
 def _q_sort_distinct(spark, sf_dir):
-    """C3: sorted(set(...)) per group."""
+    """C3: sorted(set(...)) per group — serialized to a CSV string so the
+    driver's pandas-based canonicalizer can hash the column."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        )
     )
 
 
@@ -660,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
             select sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as content_hash,
                    min(doc_id) as canonical_id,
                    count(*) as n_members,
-                   list_sort(array_agg(doc_id)) as member_ids
+                   string_agg(doc_id::varchar, ',' order by doc_id) as member_ids
             from documents
             group by 1
         """,
@@ -771,7 +781,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sort_distinct_array": """
             select user_id,
-                   list_sort(list_distinct(array_agg(event_type))) as event_types
+                   array_to_string(list_sort(list_distinct(array_agg(event_type))), ',') as event_types
             from events group by user_id
         """,
         "agg_lineitem_q1": """
