@@ -629,7 +629,7 @@ def _minhash_oracle_sql() -> str:
           join sh sb on sb.doc_id = c.id_b
         )
         select id_a, id_b, round(ni / nu, 6) as jaccard
-        from j where ni * 5 >= nu * 3
+        from j where ni * 5 >= nu * 3 and nu > 0
     """
 
 
@@ -711,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
             from s a join s b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh)) * 2
                   >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1
+              and (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
         """,
         "ann_cosine_topk": """
             with q as (select embedding::DOUBLE[] as e from embeddings where vec_id = 0)

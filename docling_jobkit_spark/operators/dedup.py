@@ -57,13 +57,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def word_shingles(text_col, k: int = 3):
     """k-word shingles as strings (distinct), via higher-order functions:
-    transform over token index range → slice-join."""
+    transform over token index range → slice-join.
+
+    Documents with fewer than k tokens yield an EMPTY shingle set — the
+    same semantics as the DuckDB oracle, whose ``words[i+1]||' '||words[i+2]``
+    produces NULLs that ``list_distinct`` drops. (Previously Spark emitted
+    one partial shingle here, a cross-engine divergence on <k-token docs.)"""
     toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def jaccard_pairs(
@@ -139,7 +147,10 @@ def jaccard_pairs(
             union.alias("n_union"),
             F.round(inter / union, 6).alias("jaccard"),
         )
-        .filter(F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
+        .filter(
+            (F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
+            & (F.col("n_union") > 0)
+        )
     )
 
 
@@ -198,7 +209,10 @@ def _jaccard_pairs_prefix(
         inter.alias("n_common"),
         union.alias("n_union"),
         F.round(inter / union, 6).alias("jaccard"),
-    ).filter(F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
+    ).filter(
+        (F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
+        & (F.col("n_union") > 0)
+    )
 
 
 def minhash_signature(text_col, k: int = 3):
@@ -284,9 +298,11 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # union > 0 guard: two empty shingle sets (sub-k-token docs) collide in
+    # every LSH bucket but have no defined Jaccard — drop, both engines
     return j.select(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
-    ).filter(inter * threshold_den >= union * threshold_num)
+    ).filter((inter * threshold_den >= union * threshold_num) & (union > 0))
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -130,5 +130,8 @@ def batch_sessions(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFra
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").cast("int").alias("n_events"),
-        F.sum("value").alias("total_value"),
+        # decimal-exact accumulation (repo cross-engine rule): the DuckDB
+        # oracle sums cast(value as decimal(18,6)); a float64 sum here can
+        # flip the 3rd decimal at a rounding boundary, order-dependently
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )

@@ -222,3 +222,34 @@ def test_frame_sampling_explode(spark):
     # deterministic across runs
     again = explode_frames(df, every_ms=500).collect()
     assert sorted(map(str, frames)) == sorted(map(str, again))
+
+
+def test_short_doc_shingles_empty_both_engines(spark):
+    """Docs with <k tokens must yield an EMPTY shingle set (matching the
+    DuckDB oracle, whose out-of-range list accesses produce NULLs that
+    list_distinct drops) — and therefore never appear in near-dup pairs."""
+    import duckdb
+
+    from docling_jobkit_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_duplicates,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "one two", "en"), (2, "one two", "en"), (3, "a b c d e f g", "en"),
+            (4, "a b c d e f g", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", word_shingles("text").alias("sh")).collect()}
+    assert sh[1] == [] and sh[2] == []
+    duck = duckdb.sql(
+        "select list_distinct(list_transform(range(1, greatest(len(w)-2,1)+1),"
+        " i -> w[i]||' '||w[i+1]||' '||w[i+2])) from"
+        " (select string_split_regex(trim(lower('one two')),'\\s+') as w)"
+    ).fetchone()[0]
+    assert duck == []
+    # short docs never pair, in either the exact-jaccard or LSH pipeline
+    jp = jaccard_pairs(df, threshold_num=1, threshold_den=2, shingle_k=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jp} == {(3, 4)}
+    mh = minhash_near_duplicates(df, threshold_num=1, threshold_den=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(3, 4)}
