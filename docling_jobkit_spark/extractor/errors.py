@@ -17,6 +17,7 @@ from dataclasses import dataclass
 
 CATEGORY_POLICY = "POLICY"
 CATEGORY_SOURCE_UNAVAILABLE = "SOURCE_UNAVAILABLE"
+CATEGORY_TARGET_UNAVAILABLE = "TARGET_UNAVAILABLE"
 CATEGORY_CAPACITY = "CAPACITY"
 CATEGORY_INTERNAL = "INTERNAL"
 CATEGORY_TIMEOUT = "TIMEOUT"
@@ -24,6 +25,7 @@ CATEGORY_TIMEOUT = "TIMEOUT"
 PHASE_ADMISSION = "admission"
 PHASE_DECODE = "decode"
 PHASE_EXTRACT = "extract"
+PHASE_SINK = "sink"
 
 
 @dataclass(frozen=True)
@@ -54,6 +56,13 @@ def classify_failure(exc: BaseException, phase: str = PHASE_EXTRACT) -> FailureI
         return FailureInfo(CATEGORY_CAPACITY, "out of memory", True, phase)
     if isinstance(exc, TimeoutError):
         return FailureInfo(CATEGORY_TIMEOUT, str(exc) or "timeout", True, phase)
+    if phase == PHASE_SINK and isinstance(exc, OSError):
+        # write-side I/O failure (fs down, connection refused, quota):
+        # TARGET_UNAVAILABLE and retryable, per the reference taxonomy
+        # (public_errors.py:101-175 maps sink errors to target category)
+        return FailureInfo(
+            CATEGORY_TARGET_UNAVAILABLE, str(exc) or exc.__class__.__name__, True, phase
+        )
     if isinstance(exc, (ValueError, UnicodeError)):
         return FailureInfo(CATEGORY_POLICY, str(exc) or exc.__class__.__name__, False, phase)
     return FailureInfo(

@@ -249,6 +249,7 @@ def extract(
     url: str | None = None,
     max_bytes: int | None = None,
     profile: ExtractionProfile | str | None = None,
+    max_pages: int | None = None,
 ) -> ExtractResult:
     """The flagship per-document map (analog of the reference's
     ``DoclingConverterManager.convert_documents``,
@@ -275,6 +276,20 @@ def extract(
                     PHASE_ADMISSION,
                 ),
             )
+        if max_pages is not None:
+            n = html.count(PAGE_BREAK) + 1
+            if n > max_pages:
+                return ExtractResult(
+                    url,
+                    STATUS_FAILURE,
+                    "",
+                    error=FailureInfo(
+                        CATEGORY_POLICY,
+                        f"page count {n} exceeds max_num_pages {max_pages}",
+                        False,
+                        PHASE_ADMISSION,
+                    ),
+                )
         had_decode_errors = False
         try:
             html.decode("utf-8", errors="strict")

@@ -8,7 +8,7 @@ from docling_jobkit_spark.operators.partitioning import (  # noqa: F401
     salted_repartition,
 )
 from docling_jobkit_spark.operators.slices import (  # noqa: F401
-    explode_slices,
+    split_slices,
     reassemble_slices,
     extract_documents_sliced,
 )

@@ -22,21 +22,36 @@ from docling_jobkit_spark.operators.extract_op import RESULT_SCHEMA
 
 
 def admission_split(
-    pages: DataFrame, max_bytes: int | None = None
+    pages: DataFrame, max_bytes: int | None = None, max_pages: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Return (admitted_pages, rejected_results).
 
     ``rejected_results`` already has RESULT_SCHEMA (FAILURE rows with the
     POLICY/SOURCE_UNAVAILABLE error struct) and can be unioned with the
-    extraction output. Both filters are pure relational predicates —
-    pushed into the parquet scan by Catalyst.
-    """
+    extraction output. All gates — size, page count, non-empty — are pure
+    relational predicates (the page count is a JVM-side marker split, see
+    slices.page_count_col), so Catalyst pushes/prunes them freely. The
+    reference preflight enforces BOTH max_file_size and max_num_pages
+    (``convert/materialization.py:158-213``)."""
+    from docling_jobkit_spark.operators.slices import page_count_col
+
     size_ok = F.lit(True) if max_bytes is None else (F.length("html") <= max_bytes)
+    pages_ok = (
+        F.lit(True) if max_pages is None else (page_count_col("html") <= max_pages)
+    )
     nonempty = F.col("html").isNotNull() & (F.length("html") > 0)
 
-    admitted = pages.filter(size_ok & nonempty)
+    admitted = pages.filter(size_ok & pages_ok & nonempty)
 
-    rejected = pages.filter(~(size_ok & nonempty)).select(
+    def _policy(message):
+        return F.struct(
+            F.lit("POLICY").alias("category"),
+            message.alias("message"),
+            F.lit(False).alias("retryable"),
+            F.lit("admission").alias("phase"),
+        )
+
+    rejected = pages.filter(~(size_ok & pages_ok & nonempty)).select(
         F.col("url"),
         F.lit("FAILURE").alias("status"),
         F.lit("").alias("extracted_text"),
@@ -50,16 +65,23 @@ def admission_split(
                 F.lit("admission").alias("phase"),
             ),
         )
-        .otherwise(
-            F.struct(
-                F.lit("POLICY").alias("category"),
+        .when(
+            ~size_ok,
+            _policy(
                 F.concat(
                     F.lit("document size "),
                     F.length("html").cast("string"),
                     F.lit(f" exceeds max_file_size {max_bytes}"),
-                ).alias("message"),
-                F.lit(False).alias("retryable"),
-                F.lit("admission").alias("phase"),
+                )
+            ),
+        )
+        .otherwise(
+            _policy(
+                F.concat(
+                    F.lit("page count "),
+                    page_count_col("html").cast("string"),
+                    F.lit(f" exceeds max_num_pages {max_pages}"),
+                )
             )
         )
         .alias("error"),

@@ -45,33 +45,12 @@ def size_decile_col(size_col: str = "html"):
     ).cast("int")
 
 
-def balanced_repartition(
-    df: DataFrame,
-    num_partitions: int,
-    weight_col=None,
-) -> DataFrame:
-    """Size-aware balanced repartition: rank rows by descending weight
-    (payload bytes by default) and deal them round-robin across
-    partitions — partition k gets ranks k, k+n, k+2n, ... so every
-    partition carries the same byte/work profile, including an equal
-    share of the giant documents.
-
-    This is the strongest skew guard for the extraction map (hash
-    salting equalizes COUNTS; this equalizes WORK). Cost: one global
-    rank (a sort-based shuffle of the ranked key only) + the repartition
-    shuffle. Use it when per-row work varies by orders of magnitude
-    (reference analog: one-doc dispatch batches + page-slice splitting,
-    ``ray/config.py:277-281,242-246``).
-    """
-    from pyspark.sql import Window as W
-
-    weight = F.length("html") if weight_col is None else weight_col
-    rank = F.row_number().over(W.orderBy(weight.desc(), F.col("url")))
-    return (
-        df.withColumn("_balance_key", F.pmod(rank, F.lit(num_partitions)))
-        .repartition(num_partitions, F.col("_balance_key"))
-        .drop("_balance_key")
-    )
+# NOTE: an earlier ``balanced_repartition`` helper (global row_number rank
+# dealt round-robin) was REMOVED: the unpartitioned Window.orderBy funnels
+# every row through one task, and repartition(n, pmod(rank, n))
+# hash-collides the n key values (~37% empty partitions) — BENCH.md's skew
+# section measured and rejected the pattern. Use ``salted_repartition``
+# for byte-balance and the slice fan-out (slices.py) for giant docs.
 
 
 def salted_repartition(

@@ -5,21 +5,30 @@ concurrently, and reassembles in slice order:
 - slice plan: ``orchestrators/ray/serve_deployment.py:437-464``;
 - dispatch: ``:1656-1725``; reassembly (sort by slice_index, concat,
   status = SUCCESS iff all slices SUCCESS else PARTIAL, errors merged):
-  ``:510-549``.
+  ``:510-549``;
+- shared-payload intent (slices reference plasma bytes, never copy the
+  whole doc per slice): ``serve_deployment.py:1253-1317``.
 
 Spark-first re-expression:
-- the slice plan is a JVM-side ``posexplode(sequence(...))`` — one row per
-  (url, slice_index, page_lo, page_hi); no Python, no driver loop;
-- slice extraction reuses the same ``extract_page_range`` pure function;
-- reassembly is an ``applyInPandas`` group-by url — the direct analog of
-  ``_assemble_slice_results``, and provably byte-equal to single-shot
-  extraction because ``extract()`` DEFINES full-document text as the
-  page-wise join (see extract.py docstring).
+- page COUNTING is pure JVM (split on the literal marker — binary→string
+  cast is an unchecked byte wrap, so this works even on invalid UTF-8);
+- the SPLIT materializes one row per slice carrying ONLY that slice's
+  pages' bytes (one mapInPandas pass over oversized docs — the payload
+  crosses the Arrow boundary once, not once per slice);
+- slice rows are hash-REPARTITIONED on (doc_key, slice_index) before
+  extraction, so the slices of one giant document genuinely run on many
+  cores — the whole point of the fan-out: a 400-page doc would otherwise
+  pin one task for minutes;
+- REASSEMBLY groups by a per-input-row ``doc_key`` (urls are NOT unique —
+  the corpus deliberately contains duplicate urls with different
+  payloads; grouping by url would interleave two documents' slices);
+- byte-exactness is by construction: ``extract()`` DEFINES full-document
+  text as the page-wise extraction joined by PAGE_JOIN, and a slice's
+  payload is exactly its pages re-joined by the marker (see extract.py).
 
-At 100 TB the point of this operator is wall-time skew: a 400-page
-document would pin one task for minutes; exploded, its slices run on many
-cores. Only oversized documents are routed here (``extract_documents_sliced``),
-so the groupBy shuffle touches a small fraction of rows.
+Only oversized documents are routed here (``extract_documents_sliced``),
+so the slice shuffle touches a small fraction of rows — and only
+slice-sized payloads, never whole documents.
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,8 +48,25 @@ from docling_jobkit_spark.operators.extract_op import (
     extract_documents,
 )
 
+PAGE_BREAK_STR = "<!--PAGE_BREAK-->"
+
+SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_key", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("slice_index", T.IntegerType()),
+        T.StructField("slice_html", T.BinaryType()),
+        T.StructField("clean", T.BooleanType()),
+        T.StructField("page_lo", T.IntegerType()),
+        T.StructField("page_hi", T.IntegerType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
 SLICE_RESULT_SCHEMA = T.StructType(
     [
+        T.StructField("doc_key", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("slice_index", T.IntegerType()),
         T.StructField("status", T.StringType()),
@@ -53,86 +79,116 @@ SLICE_RESULT_SCHEMA = T.StructType(
     ]
 )
 
-_PAGE_COUNT_SCHEMA = T.IntegerType()
 
+def page_count_col(html_col="html") -> Column:
+    """JVM-side page count: marker occurrences + 1, 0 for NULL payloads.
 
-@F.pandas_udf(_PAGE_COUNT_SCHEMA)
-def page_count_udf(html: pd.Series) -> pd.Series:
-    """Vectorized page counter (marker occurrences + 1)."""
-    marker = b"<!--PAGE_BREAK-->"
-    return html.map(lambda b: (bytes(b).count(marker) + 1) if b is not None else 0).astype("int32")
+    ``cast(binary as string)`` wraps the bytes unchecked and ``split`` on
+    the ASCII marker operates byte-wise, so the count is correct even for
+    payloads that are not valid UTF-8 (verified by test). No Python, no
+    Arrow crossing — the routing decision costs a codegen projection."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return (
+        F.when(c.isNull(), F.lit(0))
+        .otherwise(F.size(F.split(c.cast("string"), PAGE_BREAK_STR, -1)))
+        .cast("int")
+    )
 
 
 def with_page_count(pages: DataFrame) -> DataFrame:
-    return pages.withColumn("n_pages", page_count_udf("html"))
+    return pages.withColumn("n_pages", page_count_col("html"))
 
 
-def explode_slices(pages_with_count: DataFrame, pages_per_slice: int) -> DataFrame:
-    """(url, html, n_pages) → one row per slice with page bounds.
+def _split_batches(
+    batches: Iterator[pd.DataFrame], pages_per_slice: int
+) -> Iterator[pd.DataFrame]:
+    from docling_jobkit_spark.extractor.extract import PAGE_BREAK
 
-    Pure relational explode — the slice plan never touches Python.
-    """
     k = pages_per_slice
-    n_slices = F.ceil(F.col("n_pages") / F.lit(k)).cast("int")
-    return (
-        pages_with_count.withColumn(
-            "slice_index", F.explode(F.sequence(F.lit(1), n_slices))
-        )
-        .withColumn("page_lo", (F.col("slice_index") - 1) * k + 1)
-        .withColumn(
-            "page_hi", F.least(F.col("slice_index") * k, F.col("n_pages"))
-        )
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in SLICE_SCHEMA.fields}
+        for key, url, html in zip(pdf["doc_key"], pdf["url"], pdf["html"]):
+            payload = bytes(html)
+            try:
+                payload.decode("utf-8", errors="strict")
+                clean = True
+            except UnicodeDecodeError:
+                clean = False
+            pages = payload.split(PAGE_BREAK)
+            n = len(pages)
+            n_slices = (n + k - 1) // k
+            for si in range(n_slices):
+                lo = si * k
+                hi = min(lo + k, n)
+                out["doc_key"].append(int(key))
+                out["url"].append(url)
+                out["slice_index"].append(si + 1)
+                out["slice_html"].append(PAGE_BREAK.join(pages[lo:hi]))
+                out["clean"].append(clean)
+                out["page_lo"].append(lo + 1)
+                out["page_hi"].append(hi)
+                out["n_pages"].append(n)
+                out["n_bytes"].append(len(payload))
+        yield pd.DataFrame(out)
+
+
+def split_slices(big_docs: DataFrame, pages_per_slice: int) -> DataFrame:
+    """(doc_key, url, html) → one row per slice carrying ONLY its pages'
+    bytes. One Arrow round-trip of the payload total — per-slice rows sum
+    to ~the document size (plus dropped markers), so the downstream
+    shuffle and extraction never move whole-document bytes again."""
+    cols = big_docs.select("doc_key", "url", "html")
+    return cols.mapInPandas(
+        lambda it: _split_batches(it, pages_per_slice), schema=SLICE_SCHEMA
     )
 
 
 def _extract_slice_batches(
     batches: Iterator[pd.DataFrame], profile: str = "default"
 ) -> Iterator[pd.DataFrame]:
-    from docling_jobkit_spark.extractor.extract import PROFILES, extract_page_range
     from docling_jobkit_spark.extractor.errors import classify_failure
+    from docling_jobkit_spark.extractor.extract import PROFILES, extract_page_range
 
     prof = PROFILES[profile]
 
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "url", "slice_index", "status", "extracted_text",
-            "spans", "error", "n_pages", "n_bytes", "timings",
-        )}
-        for url, html, sidx, lo, hi in zip(
-            pdf["url"], pdf["html"], pdf["slice_index"], pdf["page_lo"], pdf["page_hi"]
+        out: dict[str, list] = {f.name: [] for f in SLICE_RESULT_SCHEMA.fields}
+        for key, url, sidx, payload, clean, n_pages, n_bytes in zip(
+            pdf["doc_key"], pdf["url"], pdf["slice_index"], pdf["slice_html"],
+            pdf["clean"], pdf["n_pages"], pdf["n_bytes"],
         ):
-            payload = bytes(html)
+            payload = bytes(payload)
             try:
                 import time as _time
 
                 t0 = _time.perf_counter()
-                text, spans, n_pages = extract_page_range(payload, int(lo), int(hi), prof)
+                text, spans, _ = extract_page_range(payload, 1, 1 << 30, prof)
                 out["timings"].append({"extract": _time.perf_counter() - t0})
-                try:
-                    payload.decode("utf-8", errors="strict")
-                    clean = True
-                except UnicodeDecodeError:
-                    clean = False
                 out["status"].append("SUCCESS" if clean else "PARTIAL_SUCCESS")
                 out["extracted_text"].append(text)
                 out["spans"].append([s.as_dict() for s in spans])
                 out["error"].append(None)
-                out["n_pages"].append(n_pages)
             except Exception as exc:
                 out["status"].append("FAILURE")
                 out["extracted_text"].append("")
                 out["spans"].append([])
                 out["error"].append(classify_failure(exc).as_dict())
-                out["n_pages"].append(0)
                 out["timings"].append({})
+            out["doc_key"].append(int(key))
             out["url"].append(url)
             out["slice_index"].append(int(sidx))
-            out["n_bytes"].append(len(payload))
+            out["n_pages"].append(int(n_pages))
+            out["n_bytes"].append(int(n_bytes))
         yield pd.DataFrame(out)
 
 
 def extract_slices(slices: DataFrame, profile: str = "default") -> DataFrame:
-    cols = slices.select("url", "html", "slice_index", "page_lo", "page_hi")
+    """Per-slice extraction. Each slice row is self-contained (its own
+    pages' bytes + the carried doc-level clean flag / totals), so this map
+    runs wherever the repartition put the row."""
+    cols = slices.select(
+        "doc_key", "url", "slice_index", "slice_html", "clean", "n_pages", "n_bytes"
+    )
     return cols.mapInPandas(
         lambda it: _extract_slice_batches(it, profile), schema=SLICE_RESULT_SCHEMA
     )
@@ -151,18 +207,16 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     statuses = list(pdf["status"])
     first_error = None
     merged_timings: dict[str, float] = {}
-    for _, row in pdf.iterrows():
-        if row["status"] == "FAILURE":
-            err = row["error"]
+    for status, err, row_spans, row_t, text in zip(
+        pdf["status"], pdf["error"], pdf["spans"], pdf["timings"], pdf["extracted_text"]
+    ):
+        if status == "FAILURE":
             if first_error is None and err is not None:
                 first_error = err
             continue
         if parts:
             offset += len(PAGE_JOIN)
-        row_spans = row["spans"]
-        if row_spans is None:
-            row_spans = []
-        for s in row_spans:
+        for s in row_spans if row_spans is not None else []:
             spans.append(
                 {
                     "start": int(s["start"]) + offset,
@@ -171,13 +225,12 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                     "path": s["path"],
                 }
             )
-        row_t = row["timings"]
         if row_t is not None:
             # F3 map-merge: sum per stage across slices
             for k, v in dict(row_t).items():
                 merged_timings[k] = merged_timings.get(k, 0.0) + float(v)
-        parts.append(row["extracted_text"])
-        offset += len(row["extracted_text"])
+        parts.append(text)
+        offset += len(text)
     if all(s == "FAILURE" for s in statuses):
         status = "FAILURE"
     elif all(s == "SUCCESS" for s in statuses):
@@ -203,8 +256,26 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def reassemble_slices(slice_results: DataFrame) -> DataFrame:
-    return slice_results.groupBy("url").applyInPandas(
+    """Group by the unique per-input-row doc_key, NOT url: the corpus
+    contains duplicate urls with distinct payloads, and a url-keyed group
+    would merge two documents' slices into one corrupted row."""
+    return slice_results.groupBy("doc_key").applyInPandas(
         _reassemble_group, schema=RESULT_SCHEMA
+    )
+
+
+def spread_slices(slices: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Hash-repartition slice rows on (doc_key, slice_index) so one
+    document's slices run on many cores. The partition count is EXPLICIT
+    (defaults to spark.sql.shuffle.partitions): AQE would coalesce a
+    count-less repartition of a small slice set back into one task,
+    defeating the fan-out."""
+    if num_partitions is None:
+        num_partitions = int(
+            slices.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return slices.repartition(
+        num_partitions, F.col("doc_key"), F.col("slice_index")
     )
 
 
@@ -214,17 +285,34 @@ def extract_documents_sliced(
     slice_min_pages: int = 3,
     max_bytes: int | None = None,
     profile: str = "default",
+    slice_partitions: int | None = None,
 ) -> DataFrame:
     """Route: multi-page docs above the slice threshold go through
-    explode → slice-extract → reassemble; everything else takes the
-    direct single-shot map. Output schema identical either way, and the
-    values are byte-identical by construction."""
-    counted = with_page_count(pages)
-    big = counted.filter(F.col("n_pages") >= slice_min_pages)
-    small = counted.filter(F.col("n_pages") < slice_min_pages).drop("n_pages")
+    split → repartition → slice-extract → reassemble; everything else
+    (including over-``max_bytes`` docs, which must receive the POLICY
+    FAILURE row the single-shot oracle produces) takes the direct map.
+    Output schema identical either way; values byte-identical by
+    construction."""
+    size_ok = (
+        F.lit(True) if max_bytes is None else (F.length("html") <= F.lit(max_bytes))
+    )
+    counted = pages.withColumn("n_pages", page_count_col("html")).withColumn(
+        # unique per input ROW (urls may repeat); assigned before the
+        # branch so slice rows inherit it through the shuffle
+        "doc_key",
+        F.monotonically_increasing_id(),
+    )
+    route_sliced = (
+        F.col("html").isNotNull()
+        & (F.col("n_pages") >= F.lit(slice_min_pages))
+        & size_ok
+    )
+    big = counted.filter(route_sliced)
+    small = counted.filter(~route_sliced).drop("n_pages", "doc_key")
 
     direct = extract_documents(small, max_bytes=max_bytes, profile=profile)
-    sliced = reassemble_slices(
-        extract_slices(explode_slices(big, pages_per_slice), profile)
-    )
+    # spread one document's slices across tasks — hash of (doc_key,
+    # slice_index) is uniform, and only slice-sized bytes move
+    slices = spread_slices(split_slices(big, pages_per_slice), slice_partitions)
+    sliced = reassemble_slices(extract_slices(slices, profile))
     return direct.unionByName(sliced)

@@ -37,6 +37,7 @@ from docling_jobkit_spark.operators.slices import extract_documents_sliced
 @dataclass
 class PipelineConfig:
     max_bytes: int | None = 64 * 1024 * 1024   # admission size cap
+    max_pages: int | None = None               # admission page-count cap
     num_partitions: int = 32                   # extraction parallelism
     n_buckets: int = 1024                      # url-hash bucket space
     n_commit_groups: int = 8                   # resume granularity
@@ -72,7 +73,9 @@ class ExtractionPipeline:
     def extract(self, pages: DataFrame) -> DataFrame:
         """The core transform, without commit bookkeeping."""
         cfg = self.config
-        admitted, rejected = admission_split(pages, max_bytes=cfg.max_bytes)
+        admitted, rejected = admission_split(
+            pages, max_bytes=cfg.max_bytes, max_pages=cfg.max_pages
+        )
         if cfg.repartition:
             admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
         if cfg.use_slicing:

@@ -57,3 +57,61 @@ def test_giant_doc_sliced_output_byte_exact(spark, corpus_rows):
     assert len(got) == 1
     assert got[0]["extracted_text"] == exp.text
     assert got[0]["n_pages"] == exp.n_pages
+
+
+def _paged_doc(n_pages: int, seed: int = 0) -> bytes:
+    page = b"<p>" + (b"paragraph with plenty of body text %d " % seed) * 8 + b"</p>"
+    return b"<!--PAGE_BREAK-->".join(page for _ in range(n_pages))
+
+
+def test_slices_spread_across_partitions_without_amplification(spark):
+    """The fan-out's reason to exist: one giant doc's slices must land on
+    MANY partitions (wall-time spread), and each slice row must carry only
+    its own pages' bytes — not the whole document (Arrow/shuffle cost)."""
+    from docling_jobkit_spark.operators.slices import split_slices, spread_slices
+
+    html = _paged_doc(40)
+    df = spark.createDataFrame([(0, "u1", html)], "doc_key long, url string, html binary")
+    slices = spread_slices(split_slices(df, pages_per_slice=1), 16)
+    rows = slices.select(
+        F.spark_partition_id().alias("p"), F.length("slice_html").alias("b")
+    ).collect()
+    assert len(rows) == 40
+    assert len({r["p"] for r in rows}) > 4  # genuinely spread, not one task
+    # sum of slice bytes == doc bytes minus the dropped inter-slice markers
+    assert sum(r["b"] for r in rows) == len(html) - 39 * len(b"<!--PAGE_BREAK-->")
+    assert max(r["b"] for r in rows) < len(html) // 10  # no full-payload rows
+
+
+def test_duplicate_urls_with_distinct_payloads_stay_distinct(spark):
+    """Reassembly groups by a per-row doc key, not url: two multi-page docs
+    sharing a url must come back as two rows with their own texts."""
+    from docling_jobkit_spark.operators.slices import extract_documents_sliced
+
+    a = _paged_doc(5, seed=1)
+    b = _paged_doc(7, seed=2)
+    df = spark.createDataFrame(
+        [("dup://same", a), ("dup://same", b)], "url string, html binary"
+    )
+    got = extract_documents_sliced(df, pages_per_slice=1, slice_min_pages=2).collect()
+    assert len(got) == 2
+    exp = {extract(a, "dup://same").text, extract(b, "dup://same").text}
+    assert {r["extracted_text"] for r in got} == exp
+    assert sorted(r["n_pages"] for r in got) == [5, 7]
+
+
+def test_sliced_path_enforces_max_bytes_policy(spark):
+    """A multi-page doc over max_bytes must produce the same POLICY
+    FAILURE row the single-shot oracle returns — not get extracted."""
+    from docling_jobkit_spark.operators.slices import extract_documents_sliced
+
+    html = _paged_doc(6)
+    df = spark.createDataFrame([("u1", html)], "url string, html binary")
+    cap = len(html) - 1
+    got = extract_documents_sliced(
+        df, pages_per_slice=1, slice_min_pages=2, max_bytes=cap
+    ).collect()
+    exp = extract(html, "u1", max_bytes=cap)
+    assert len(got) == 1
+    assert got[0]["status"] == "FAILURE" == exp.status
+    assert got[0]["error"]["category"] == "POLICY" == exp.error.category
