@@ -393,6 +393,16 @@ def _q_export_markdown(spark, sf_dir):
     return export_documents(out, formats=("md", "txt")).select("url", "status", "md")
 
 
+def _q_export_html(spark, sf_dir):
+    """P1: html + doctags export projections (pure JVM span renders)."""
+    from docling_jobkit_spark.operators.export import export_documents
+
+    out = _q_flagship_extract_full(spark, sf_dir)
+    return export_documents(out, formats=("html", "doctags")).select(
+        "url", "status", "html_doc", "doctags"
+    )
+
+
 def _q_doc_features(spark, sf_dir):
     """P4: per-document feature counts from the span structure."""
     from docling_jobkit_spark.operators.export import document_features
@@ -415,6 +425,27 @@ def _q_embedding_near_dup(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.25)
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup with LSH-signature blocking — the scale path
+    (bucket population bounded at any corpus size; the label-blocked
+    variant is quadratic per block)."""
+    from docling_jobkit_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.25, block_col=None, lsh_bits=8, dim=64
+    )
+
+
+def _q_token_window_chunks(spark, sf_dir):
+    """Relational token-window chunker over raw documents.text (the
+    SQL-checkable twin of the extraction-results chunker)."""
+    from docling_jobkit_spark.operators.chunker import token_window_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_window_chunks(docs, max_tokens=32, overlap=4)
 
 
 def _q_bpe_tokens(spark, sf_dir):
@@ -522,8 +553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash": _q_rolling_hash,
         "ivf_topk": _q_ivf_topk,
         "export_markdown": _q_export_markdown,
+        "export_html": _q_export_html,
         "doc_features": _q_doc_features,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "token_window_chunks": _q_token_window_chunks,
     }
 
 
@@ -631,6 +665,118 @@ def _minhash_oracle_sql() -> str:
         select id_a, id_b, round(ni / nu, 6) as jaccard
         from j where ni * 5 >= nu * 3 and nu > 0
     """
+
+
+def _lsh_sig_sql(vexpr: str, table: int, dim: int = 64, n_bits: int = 8) -> str:
+    """DuckDB expression for the random-hyperplane LSH signature —
+    hyperplane ±1 literals embedded from the SAME deterministic generator
+    the Spark operator uses (the _minhash_oracle_sql precedent). Products
+    by ±1.0 are exact, and both engines fold the 64 elements left-to-right,
+    so the integer signature is bit-identical."""
+    from docling_jobkit_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for b in range(n_bits):
+        plane = _hyperplane(table, b, dim)
+        lit = "[" + ",".join(f"{float(p):.1f}" for p in plane) + "]"
+        terms.append(
+            f"(case when list_dot_product({vexpr}, {lit}) > 0 then {1 << b} else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Exact twin of _q_ann_lsh: candidates = rows matching the query's
+    bucket in ANY of 4 tables, exact cosine re-rank, top 5."""
+    ors = " or ".join(
+        f"{_lsh_sig_sql('e.v', t)} = {_lsh_sig_sql('q.qv', t)}" for t in range(4)
+    )
+    return f"""
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        q as (select v as qv from e where vec_id = 0)
+        select e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) as cosine
+        from e, q
+        where {ors}
+        order by cosine desc, vec_id
+        limit 5
+    """
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    """Exact twin of _q_embedding_near_dup_lsh (table-0 8-bit signature
+    as the block key)."""
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        s as (select vec_id, v, {_lsh_sig_sql('v', 0)} as blk from e)
+        select a.vec_id as vec_id_a, b.vec_id as vec_id_b, {cos} as cosine
+        from s a join s b on a.blk = b.blk and a.vec_id < b.vec_id
+        where {cos} >= 0.25
+    """
+
+
+_IVF_ORACLE_SQL = """
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    q as (select v as qv from e where vec_id = 0),
+    cents as (
+      select (row_number() over (order by vec_id))::int - 1 as cell, v as cv
+      from e order by vec_id limit 8
+    ),
+    scored as (
+      select e.vec_id, e.v, c.cell,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) as ccos
+      from e cross join cents c
+    ),
+    best as (
+      select vec_id, v, cell from (
+        select vec_id, v, cell,
+               row_number() over (partition by vec_id
+                                  order by ccos desc, cell) as rn
+        from scored
+      ) t where rn = 1
+    ),
+    probe as (
+      select cell from (
+        select c.cell,
+               round(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) as pc
+        from cents c, q
+      ) t order by pc desc, cell limit 2
+    )
+    select b.vec_id,
+           round(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) as cosine
+    from best b, q
+    where b.cell in (select cell from probe)
+    order by cosine desc, vec_id
+    limit 5
+"""
+
+_TOKEN_WINDOW_ORACLE_SQL = """
+    with w as (
+      select doc_id, string_split_regex(trim(text),'\\s+') as toks
+      from documents where trim(text) <> ''
+    ), c as (
+      select doc_id, toks, len(toks) as n,
+             unnest(range(0, ((greatest(len(toks) - 32, 0) + 27) // 28) + 1)) as ci
+      from w
+    )
+    select doc_id, ci::int as chunk_index,
+           array_to_string(toks[ci*28 + 1 : ci*28 + 32], ' ') as chunk_text,
+           least(32, n - ci*28)::int as num_tokens
+    from c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -846,6 +992,10 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.25
         """,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ivf_topk": _IVF_ORACLE_SQL,
+        "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        "token_window_chunks": _TOKEN_WINDOW_ORACLE_SQL,
         "sessionization": """
             with g as (
               select user_id, ts, value,

@@ -32,10 +32,14 @@ CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("chunk_index", T.IntegerType()),
-        T.StructField("text", T.StringType()),
+        T.StructField("text", T.StringType()),       # contextualized
+        T.StructField("raw_text", T.StringType()),   # the bare window
         T.StructField("num_tokens", T.IntegerType()),
         T.StructField("headings", T.ArrayType(T.StringType())),
+        T.StructField("captions", T.ArrayType(T.StringType())),
         T.StructField("page_numbers", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_items", T.ArrayType(T.StringType())),
+        T.StructField("has_image", T.BooleanType()),
         T.StructField("status", T.StringType()),
     ]
 )
@@ -53,6 +57,16 @@ def chunk_text(
     chunk's first character (document-order context, the analog of the
     reference chunker's heading propagation). Page numbers: 1-based pages
     (PAGE_JOIN-delimited) overlapped by the chunk, sorted distinct.
+
+    CONTEXTUALIZATION (ref ``chunking.py:236-262`` — ``contextualize()``
+    prepends heading context into the chunk text): ``text`` carries the
+    nearest preceding heading prepended with a newline — but only when the
+    heading lies FULLY BEFORE the window (a chunk that starts inside the
+    heading already contains it); ``raw_text`` is the bare window.
+    Metadata mirrors the reference chunk payload: ``captions`` (caption
+    spans overlapping the window), ``doc_items`` (structural paths of
+    overlapped spans), ``has_image`` (constant False: the text extractor's
+    tokenizer emits no image blocks — images produce no text).
     """
     from docling_jobkit_spark.extractor.extract import PAGE_JOIN
 
@@ -77,10 +91,14 @@ def chunk_text(
 
     headings = sorted(
         (
-            (int(s["start"]), text[int(s["start"]) : int(s["end"])])
+            (int(s["start"]), int(s["end"]), text[int(s["start"]) : int(s["end"])])
             for s in (spans or [])
             if s.get("kind") == "heading"
         ),
+    )
+    all_spans = sorted(
+        (int(s["start"]), int(s["end"]), s.get("kind", ""), s.get("path", ""))
+        for s in (spans or [])
     )
 
     step = max_tokens - overlap
@@ -94,14 +112,27 @@ def chunk_text(
         p_lo = sum(1 for p in page_starts if p <= lo)
         p_hi = sum(1 for p in page_starts if p <= hi - 1)
         pages = list(range(p_lo, p_hi + 1))
-        hs = [h for off, h in headings if off <= lo]
+        hs = [(s, e, h) for s, e, h in headings if s <= lo]
+        nearest = hs[-1:]
+        # contextualize: heading prepended only when fully before the window
+        if nearest and nearest[0][1] <= lo:
+            ctx_text = nearest[0][2] + "\n" + chunk_str
+        else:
+            ctx_text = chunk_str
+        overlapped = [sp for sp in all_spans if sp[0] < hi and sp[1] > lo]
         chunks.append(
             {
                 "chunk_index": ci,
-                "text": chunk_str,
+                "text": ctx_text,
+                "raw_text": chunk_str,
                 "num_tokens": len(window),
-                "headings": hs[-1:],  # nearest preceding heading
+                "headings": [h for _, _, h in nearest],
+                "captions": [
+                    text[s:e] for s, e, kind, _ in overlapped if kind == "caption"
+                ],
                 "page_numbers": pages,
+                "doc_items": [p for _, _, _, p in overlapped],
+                "has_image": False,
             }
         )
         ci += 1
@@ -113,25 +144,23 @@ def chunk_text(
 def _chunk_batches(
     batches: Iterator[pd.DataFrame], max_tokens: int, overlap: int
 ) -> Iterator[pd.DataFrame]:
+    chunk_keys = (
+        "chunk_index", "text", "raw_text", "num_tokens", "headings",
+        "captions", "page_numbers", "doc_items", "has_image",
+    )
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "url", "chunk_index", "text", "num_tokens",
-            "headings", "page_numbers", "status",
-        )}
-        for _, row in pdf.iterrows():
-            status = row["status"]
-            spans = row["spans"]
+        out: dict[str, list] = {k: [] for k in ("url", *chunk_keys, "status")}
+        for url, status, extracted_text, spans in zip(
+            pdf["url"], pdf["status"], pdf["extracted_text"], pdf["spans"]
+        ):
             spans = list(spans) if spans is not None else []
             if status == "FAILURE":
                 # failure propagation: zero chunks (test_chunking.py:75-101)
                 continue
-            for ch in chunk_text(row["extracted_text"], spans, max_tokens, overlap):
-                out["url"].append(row["url"])
-                out["chunk_index"].append(ch["chunk_index"])
-                out["text"].append(ch["text"])
-                out["num_tokens"].append(ch["num_tokens"])
-                out["headings"].append(ch["headings"])
-                out["page_numbers"].append(ch["page_numbers"])
+            for ch in chunk_text(extracted_text, spans, max_tokens, overlap):
+                out["url"].append(url)
+                for k in chunk_keys:
+                    out[k].append(ch[k])
                 out["status"].append(status)
         if out["url"]:
             # an all-filtered batch would make pandas infer float64 for the
@@ -146,6 +175,50 @@ def chunk_documents(
     cols = results.select("url", "status", "extracted_text", "spans")
     return cols.mapInPandas(
         lambda it: _chunk_batches(it, max_tokens, overlap), schema=CHUNK_SCHEMA
+    )
+
+
+def token_window_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 32,
+    overlap: int = 4,
+) -> DataFrame:
+    """Relational token-window chunker over RAW text — the SQL-oracle-
+    checkable twin of ``chunk_documents``' windowing: whitespace tokens,
+    fixed window/stride, chunk text re-joined with single spaces (the
+    DEFINED semantics of this variant). Pure explode+slice+array_join —
+    zero Python, scan-parallel, identical window boundaries to
+    ``chunk_text`` (windows start at multiples of max_tokens-overlap; the
+    final window is the first one reaching the end)."""
+    from docling_jobkit_spark.functions.scalar import tokens
+
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_windows = (
+        F.floor((F.greatest(n - max_tokens, F.lit(0)) + step - 1) / step).cast("int")
+        + 1
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            F.array_join(
+                F.slice("_toks", F.col("chunk_index") * step + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(max_tokens), F.col("_n") - F.col("chunk_index") * step)
+            .cast("int")
+            .alias("num_tokens"),
+        )
     )
 
 

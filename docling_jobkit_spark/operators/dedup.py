@@ -40,6 +40,23 @@ _A = [2 * i + 1 for i in range(1, N_HASHES + 1)]          # 3,5,7,...
 _B = [(i * i * 2654435761) % MINHASH_PRIME for i in range(N_HASHES)]
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Guarantee CPU parallelism for compute-heavy projections.
+
+    A small single-row-group parquet file scans as ONE task, which would
+    serialize the shingle/signature computation (higher-order functions
+    are interpreted, ~µs per element — the scan is not the cost, the
+    expressions are). If the input has fewer partitions than
+    ``spark.sql.shuffle.partitions``, repartition the RAW rows first (a
+    tiny shuffle of text, far cheaper than serialized compute). At corpus
+    scale the scan already has >= that many splits and this is a no-op —
+    no shuffle is added on the 100 TB path."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) texts: one row per content
     hash with the canonical id, member count, and member ids."""
@@ -98,6 +115,7 @@ def jaccard_pairs(
     share the vocabulary). Jaccard ≥ num/den tested in integer
     arithmetic (deterministic): |∩| * den ≥ |∪| * num.
     """
+    df = spread_for_compute(df)
     if shingle_k is not None:
         words = word_shingles(text_col, shingle_k)
     else:
@@ -164,42 +182,89 @@ def _jaccard_pairs_prefix(
 ) -> DataFrame:
     """Prefix-filtered set-similarity join (PPJoin family, public
     algorithm): J(A,B) ≥ t implies A and B share at least one element
-    among the first ``n - ceil(t·n) + 1`` elements of their sorted
-    representations, so an equi-join on exploded prefix elements yields
-    a complete candidate set, verified exactly afterwards."""
-    sorted_sh = F.array_sort(words)
-    n = F.size(sorted_sh)
+    among the first ``n - ceil(t·n) + 1`` elements under ANY global total
+    order. The order used here is ASCENDING DOCUMENT FREQUENCY (rarest
+    token first, ties broken lexicographically) — the classic PPJoin
+    ordering, which makes prefixes carry the rarest tokens and shrinks the
+    candidate equi-join by orders of magnitude versus a lexicographic
+    prefix. The candidate join also applies the length-ratio filter
+    (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t), so oversized/undersized pairs never
+    reach verification. Exact verification afterwards — output identical
+    to the all-pairs plan.
+
+    Plan shape at scale: one token-frequency agg (shuffle on token), one
+    doc re-group (shuffle on id), the prefix candidate equi-join (shuffle
+    on rare tokens — uniform by construction: a token's fan-out is its
+    document frequency, and prefixes prefer the LOW-frequency tokens),
+    then an id-keyed verify join. No quadratic block join anywhere."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        words.alias("sh"),
+    )
+    tok = sets.select(
+        "id", *block_cols, F.size("sh").alias("n"), F.explode("sh").alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
+    # each doc's shingles re-ordered rarest-first under the global order
+    ordered = (
+        tok.join(freq, on="t")
+        .groupBy("id", *block_cols, "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_t", "t"))), lambda s: s.t
+            ).alias("sh")
+        )
+        # ordered sets feed FOUR consumers (prefix-left, prefix-right,
+        # verify-a, verify-b); without a materialization Spark recomputes
+        # the scan→shingle→freq-join→regroup chain per consumer (measured:
+        # 8 parquet scans, 0 reused exchanges). Classic PPJoin materializes
+        # the frequency-ordered lists once — localCheckpoint is the Spark
+        # form (MEMORY_AND_DISK, lineage-truncated, GC-released).
+        .localCheckpoint(eager=False)
+    )
+    n = F.col("n")
     # ceil(n * num / den) in integer arithmetic
     tceil = F.floor((n * threshold_num + threshold_den - 1) / threshold_den).cast("int")
     plen = F.greatest(n - tceil + 1, F.lit(1))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        sorted_sh.alias("sh"),
-        F.explode(F.slice(sorted_sh, 1, plen)).alias("ptok"),
+    base = ordered.select(
+        "id",
+        *block_cols,
+        "n",
+        F.explode(F.slice("sh", F.lit(1), plen)).alias("ptok"),
     )
     left = base.select(
-        F.col("ptok"),
+        F.col("ptok").alias("ptok_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
         F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
     )
     right = base.select(
-        F.col("ptok"),
+        F.col("ptok").alias("ptok_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
         F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
     )
-    cond = (F.col("id_a") < F.col("id_b")) & (left.ptok == right.ptok)
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("ptok_a") == F.col("ptok_b"))
     for c in block_cols:
         cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
-    cands = (
-        left.join(right, on=cond)
-        .select("id_a", "id_b")
-        .distinct()
+    # length-ratio filter at candidate time (necessary condition for J ≥ t)
+    cond = (
+        cond
+        & (F.col("n_a") * threshold_den >= F.col("n_b") * threshold_num)
+        & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
     )
-    sets = df.select(F.col(id_col).alias("id"), sorted_sh.alias("sh"))
+    cands = left.join(right, on=cond).select("id_a", "id_b").distinct()
+    verify_sets = ordered.select("id", "sh")
     j = (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        cands.join(
+            verify_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            verify_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -217,7 +282,13 @@ def _jaccard_pairs_prefix(
 
 def minhash_signature(text_col, k: int = 3):
     """array<long> of N_HASHES permutation minima over shingle hashes."""
-    sh = word_shingles(text_col, k)
+    return minhash_signature_from_shingles(word_shingles(text_col, k))
+
+
+def minhash_signature_from_shingles(sh_col):
+    """Signature from an ALREADY-COMPUTED shingle column — lets pipelines
+    that also need the raw shingles (verification) tokenize once."""
+    sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
     # 52-bit base hashes: 2^52 * max(a)=129 + b stays far below 2^63 — the
     # permutation arithmetic can never overflow a signed long
     base_hashes = F.transform(sh, lambda s: stable_hash64(s, bits=52))
@@ -248,7 +319,7 @@ def minhash_signature(text_col, k: int = 3):
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("minhash", minhash_signature(text_col))
+    return spread_for_compute(df).withColumn("minhash", minhash_signature(text_col))
 
 
 def lsh_candidates(
@@ -256,7 +327,14 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: equal band-slice of the
     signature → same bucket → pair. Returns distinct (id_a, id_b)."""
-    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig"))
+    sig = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig")
+    )
+    return _band_candidates(sig)
+
+
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """(id, sig) → distinct candidate pairs sharing any band bucket."""
     bands = sig.select(
         "id",
         F.posexplode(
@@ -287,11 +365,18 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates verified with exact Jaccard
     over word shingles (false positives removed; the standard
-    filter-and-verify shape)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles")
+    filter-and-verify shape).
+
+    Shingles are computed ONCE and materialized (localCheckpoint): the
+    signature fold, both verify joins, and the banding all derive from the
+    same shingle table instead of re-tokenizing the corpus per consumer."""
+    sh = (
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles"))
+        .localCheckpoint(eager=False)
     )
-    cands = lsh_candidates(df, text_col, id_col)
+    sig = sh.select("id", minhash_signature_from_shingles("shingles").alias("sig"))
+    cands = _band_candidates(sig)
     j = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), on="id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), on="id_b")
@@ -347,7 +432,7 @@ def simhash(text_col):
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", simhash(text_col))
+    return spread_for_compute(df).withColumn("simhash", simhash(text_col))
 
 
 def simhash_near_duplicates(
@@ -357,7 +442,9 @@ def simhash_near_duplicates(
     any pair within distance 3 shares ≥1 exact chunk (pigeonhole), so the
     join is an equi-join on (chunk_idx, chunk_value), then verified with
     bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    sh = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+    )
     chunks = sh.select(
         "id",
         "sh",

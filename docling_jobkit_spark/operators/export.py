@@ -46,6 +46,65 @@ def plain_text_col() -> Column:
     return F.col("extracted_text")
 
 
+def _escape_html(c: Column) -> Column:
+    """Minimal HTML entity escaping (&, <, > — amp first), JVM-side."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+_HTML_TAG = {
+    "heading": "h2",
+    "para": "p",
+    "list": "li",
+    "quote": "blockquote",
+    "table": "table",
+    "pre": "pre",
+    "caption": "figcaption",
+}
+
+
+def _span_body(s) -> Column:
+    return F.substring(
+        F.col("extracted_text"),
+        (s.start + 1).cast("int"),
+        (s.end - s.start).cast("int"),
+    )
+
+
+def html_col() -> Column:
+    """HTML rendering (ref export family ``convert/results.py:234-248``):
+    each span's slice wrapped in its block kind's element, entity-escaped,
+    newline-joined. Same pure-projection shape as markdown_col — an
+    unrequested format costs nothing (column pruning)."""
+    def render(s):
+        body = _escape_html(_span_body(s))
+        tag = F.lit("p")
+        for kind, t in _HTML_TAG.items():
+            tag = F.when(s.kind == kind, F.lit(t)).otherwise(tag)
+        return F.concat(F.lit("<"), tag, F.lit(">"), body, F.lit("</"), tag, F.lit(">"))
+
+    return F.array_join(F.transform(F.col("spans"), render), "\n")
+
+
+def doctags_col() -> Column:
+    """Doctags-style rendering: one tag per block carrying its kind, char
+    offsets, and structural path — the lossless span serialization (the
+    analog of the reference's doctags export, which preserves layout
+    provenance alongside text)."""
+    def render(s):
+        body = _escape_html(_span_body(s))
+        return F.concat(
+            F.lit("<"), s.kind,
+            F.lit(' loc="'), s.start.cast("string"), F.lit(":"), s.end.cast("string"),
+            F.lit('" path="'), s.path, F.lit('">'),
+            body,
+            F.lit("</"), s.kind, F.lit(">"),
+        )
+
+    return F.array_join(F.transform(F.col("spans"), render), "\n")
+
+
 def json_doc_col() -> Column:
     """The reference stores the full document payload as a JSON string
     (``results_processor.py:348``)."""
@@ -76,7 +135,8 @@ def feature_counts() -> list[Column]:
 
 
 def export_documents(results: DataFrame, formats: tuple[str, ...] = ("md", "txt")) -> DataFrame:
-    """results → one column per requested export format."""
+    """results → one column per requested export format (the reference
+    exports json/html/txt/md/doctags, ``convert/results.py:234-248``)."""
     cols = [F.col("url"), F.col("status")]
     if "md" in formats:
         cols.append(markdown_col().alias("md"))
@@ -84,6 +144,10 @@ def export_documents(results: DataFrame, formats: tuple[str, ...] = ("md", "txt"
         cols.append(plain_text_col().alias("txt"))
     if "json" in formats:
         cols.append(json_doc_col().alias("json_doc"))
+    if "html" in formats:
+        cols.append(html_col().alias("html_doc"))
+    if "doctags" in formats:
+        cols.append(doctags_col().alias("doctags"))
     return results.select(*cols)
 
 

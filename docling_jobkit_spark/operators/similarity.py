@@ -48,6 +48,9 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine; deterministic tie-break on id."""
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    df = spread_for_compute(df)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
@@ -62,20 +65,44 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
+    lsh_bits: int | None = None,
+    dim: int | None = None,
+    lsh_table: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of the
     text dedup family): blocked self-join + exact cosine.
 
-    The optional ``block_col`` is the same candidate-capping idea as the
-    lang block in text dedup; at corpus scale replace it with the LSH
-    signature (``lsh_signature``) as the join key — same plan shape.
+    Two blocking modes:
+    - ``block_col``: a metadata block (label/lang/domain) — candidate set
+      is quadratic PER BLOCK, fine when blocks stay small;
+    - ``lsh_bits=k`` (requires ``dim``): block = the k-bit random-
+      hyperplane signature, the SCALE path — bucket population falls
+      geometrically with k, so the per-bucket self-join stays bounded at
+      any corpus size (near-identical vectors land in the same bucket by
+      construction). Approximate by design: pairs split across buckets
+      are missed, exactly the LSH recall trade.
     Threshold compared on the ROUNDED value so the result set is
     identical across engines."""
-    names = ["id", "v"] + (["blk"] if block_col else [])
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    df = spread_for_compute(df)
+    if lsh_bits is not None:
+        if dim is None:
+            raise ValueError("lsh_bits requires dim (embedding dimensionality)")
+        block_expr = lsh_signature(vec_col, dim, lsh_bits, lsh_table)
+        names = ["id", "v", "blk"]
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            block_expr.alias("blk"),
+        )
+        block_col = "blk"
+    else:
+        names = ["id", "v"] + (["blk"] if block_col else [])
+        cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+        if block_col:
+            cols.append(F.col(block_col).alias("blk"))
+        base = df.select(*cols)
     a = base.select(*[F.col(c).alias(f"{c}_a") for c in names])
     b = base.select(*[F.col(c).alias(f"{c}_b") for c in names])
     cond = F.col("id_a") < F.col("id_b")
@@ -107,22 +134,44 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[int]:
 
 
 def lsh_signature(vec_col, dim: int, n_bits: int = 12, table: int = 0) -> Column:
-    """Integer bucket id: sign bits against n_bits hyperplanes."""
+    """Integer bucket id: sign bits against n_bits hyperplanes.
+
+    SINGLE PASS over the vector: element d contributes x_d·plane[b][d] to
+    all n_bits running projections at once (a zip_with against a literal
+    per-element array of plane rows, folded element-wise). The naive form
+    — one zip_with+aggregate per bit — traverses the vector n_bits times
+    and makes Catalyst re-evaluate the column per bit. Per-bit summation
+    ORDER is unchanged (strict left fold over d), so signatures are
+    bit-identical to the per-bit form and to the DuckDB oracle's
+    list_dot_product (products by ±1.0 are exact; only order matters)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        plane = _hyperplane(table, b, dim)
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(p)) for p in plane]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    planes = [_hyperplane(table, b, dim) for b in range(n_bits)]
+    # per element d: the length-n_bits row of plane coefficients
+    plane_rows = F.array(
+        *[
+            F.array(*[F.lit(float(planes[b][d])) for b in range(n_bits)])
+            for d in range(dim)
+        ]
+    )
+    zeros = F.transform(
+        F.sequence(F.lit(1), F.lit(n_bits)), lambda _: F.lit(0.0)
+    )
+    contribs = F.zip_with(
+        v, plane_rows, lambda x, row: F.transform(row, lambda p: x.cast("double") * p)
+    )
+    sums = F.aggregate(
+        contribs, zeros, lambda acc, c: F.zip_with(acc, c, lambda a, x: a + x)
+    )
+    bit_values = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            bit_values,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ivf_assign(
@@ -141,7 +190,10 @@ def ivf_assign(
     v = F.col(vec_col)
     for i, c in enumerate(centroids):
         cvec = F.array(*[F.lit(float(x)) for x in c])
-        cos = cosine_col(v, cvec)
+        # assignment compares ROUNDED cosines (strict >, ascending i →
+        # lowest cell wins ties) so the cell id is reproducible in any
+        # engine regardless of last-ulp float summation differences
+        cos = F.round(cosine_col(v, cvec), 6)
         improved = cos > best_cos
         best_cell = F.when(improved, F.lit(i)).otherwise(best_cell)
         best_cos = F.when(improved, cos).otherwise(best_cos)
@@ -179,7 +231,7 @@ def ivf_topk(
 
     probe = sorted(
         range(len(centroids)),
-        key=lambda i: (-py_cos(query_vec, centroids[i]), i),
+        key=lambda i: (-round(py_cos(query_vec, centroids[i]), 6), i),
     )[:n_probe]
     assigned = ivf_assign(df, centroids, vec_col)
     return brute_force_topk(
