@@ -439,6 +439,22 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _q_uri_parts(spark, sf_dir):
+    """P6: filename/URI derivation over a deterministic per-doc url."""
+    from docling_jobkit_spark.functions.scalar import uri_parts
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html?ref="),
+        F.col("lang"),
+    )
+    return docs.select("doc_id", url.alias("url"), *uri_parts(url))
+
+
 def _q_token_window_chunks(spark, sf_dir):
     """Relational token-window chunker over raw documents.text (the
     SQL-checkable twin of the extraction-results chunker)."""
@@ -558,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "token_window_chunks": _q_token_window_chunks,
+        "uri_parts": _q_uri_parts,
     }
 
 
@@ -837,16 +854,20 @@ def oracle_sql() -> dict[str, str]:
             from cand where bit_count(xor(sa, sb)) <= 6
         """,
         "jaccard_pairs": """
+            -- shingles compared as the SAME 52-bit sha-prefix hashes that
+            -- the Spark prefix-filtered operator uses (stable_hash64)
             with w as (
               select doc_id, lang,
                      string_split_regex(trim(lower(text)),'\\s+') as words
               from documents
             ), s as (
               select doc_id, lang,
-                     list_distinct(list_transform(
-                       range(1, greatest(len(words)-2, 1) + 1),
-                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                     )) as sh
+                     list_transform(
+                       list_distinct(list_transform(
+                         range(1, greatest(len(words)-2, 1) + 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       )),
+                       t -> ('0x' || substr(sha256(t),1,13))::ubigint::bigint) as sh
               from w
             )
             select a.doc_id as id_a, b.doc_id as id_b,
@@ -991,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
             where round(list_dot_product(a.embedding, b.embedding)
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.25
+        """,
+        "uri_parts": """
+            with u as (
+              select doc_id,
+                     'https://' || source || '.example.com/docs/doc-'
+                       || doc_id::varchar || '.html?ref=' || lang as url
+              from documents
+            )
+            select doc_id, url,
+                   regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) as scheme,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) as host,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as upath,
+                   regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1) as filename,
+                   regexp_extract(regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1),
+                                  '\\.([A-Za-z0-9]+)$', 1) as ext
+            from u
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ivf_topk": _IVF_ORACLE_SQL,

@@ -83,6 +83,15 @@ def main() -> None:
     extras["extract_docs_per_sec"] = round(n_docs / dt, 1)
     extras["extract_mb_per_sec"] = round(total_bytes / dt / 1e6, 1)
     extras["extract_n_docs"] = n_docs
+
+    # slice fan-out variant: multi-page docs split per-slice, slices
+    # repartitioned across cores, reassembled byte-exactly (F1/F2)
+    pipe_sliced = ExtractionPipeline(
+        spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=True)
+    )
+    t0 = time.perf_counter()
+    _noop_write(pipe_sliced.extract(pages))
+    extras["extract_sliced_secs"] = round(time.perf_counter() - t0, 3)
     pages.unpersist()
 
     # --- headline operator queries -------------------------------------
@@ -95,13 +104,19 @@ def main() -> None:
         "jaccard_pairs",
         "minhash_lsh",
         "simhash",
+        "simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ivf_topk",
+        "embedding_near_dup",
+        "embedding_near_dup_lsh",
         "char_chunks",
+        "token_window_chunks",
         "token_count",
         "lang_id",
         "quality",
         "fingerprint",
+        "uri_parts",
         "multimodal_meta",
         "chunker_token_windows",
     ]

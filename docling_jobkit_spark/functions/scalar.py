@@ -43,6 +43,25 @@ def fingerprint(col, n: int = 16) -> Column:
     return F.substring(F.sha2(normalized_text(col), 256), 1, n)
 
 
+def uri_parts(col) -> list[Column]:
+    """P6 (SURVEY §2.5): filename/URI derivation — scheme, host, path,
+    filename, extension as pure regexp projections. The reference derives
+    artifact paths and target filenames from source URIs
+    (``connectors/artifact_paths.py``, filename fallbacks in the target
+    contract); here it is one codegen projection, and the exact same
+    regexes run in the DuckDB oracle (class-portable patterns only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_query = F.regexp_replace(c, r"[?#].*$", "")
+    filename = F.regexp_extract(no_query, r"([^/]+)$", 1)
+    return [
+        F.regexp_extract(c, r"^([a-z][a-z0-9+.-]*)://", 1).alias("scheme"),
+        F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1).alias("host"),
+        F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).alias("upath"),
+        filename.alias("filename"),
+        F.regexp_extract(filename, r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+    ]
+
+
 BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

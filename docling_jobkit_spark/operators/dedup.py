@@ -196,12 +196,22 @@ def _jaccard_pairs_prefix(
     doc re-group (shuffle on id), the prefix candidate equi-join (shuffle
     on rare tokens — uniform by construction: a token's fan-out is its
     document frequency, and prefixes prefer the LOW-frequency tokens),
-    then an id-keyed verify join. No quadratic block join anywhere."""
+    then an id-keyed verify join. No quadratic block join anywhere.
+
+    Shingles travel as 52-bit sha-prefix HASHES (8-byte longs), not
+    strings: the frequency agg, prefix join, and verify intersections all
+    shuffle/compare longs — a large constant-factor win at corpus scale.
+    |∩|/|∪| are unchanged (collision probability ~|vocab|²/2^53), and the
+    DuckDB oracle hashes identically, so the check is still exact."""
+    hashed = F.transform(words, lambda s: stable_hash64(s, bits=52))
     sets = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        words.alias("sh"),
-    )
+        hashed.alias("sh"),
+    # materialized ONCE: the tokenize→shingle→sha chain is the dominant
+    # interpreted cost and would otherwise re-run for the freq agg, the
+    # ordering join, and the regroup
+    ).localCheckpoint(eager=False)
     tok = sets.select(
         "id", *block_cols, F.size("sh").alias("n"), F.explode("sh").alias("t")
     )
@@ -445,6 +455,10 @@ def simhash_near_duplicates(
     sh = spread_for_compute(df).select(
         F.col(id_col).alias("id"), simhash(text_col).alias("sh")
     )
+    # materialize the signatures: the chunk explode feeds a self-join
+    # (left/right) — without this the interpreted 48-bit sign-sum fold
+    # recomputes per branch
+    sh = sh.localCheckpoint(eager=False)
     chunks = sh.select(
         "id",
         "sh",
