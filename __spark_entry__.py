@@ -515,6 +515,42 @@ def _q_join_orders_customer(spark, sf_dir):
     )
 
 
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filtered agg + top-k by revenue.
+    The fact-fact join (orders ⋈ lineitem) shuffles on the key; the
+    customer dim is broadcast; the top-10 is TakeOrdered, not a sort."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    revenue = F.round(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("decimal(28,8)")
+        ),
+        2,
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("odate_epoch"),
+            "o_orderpriority",
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_join_multiway(spark, sf_dir):
     """3-way join: customer ⋈ nation ⋈ region, counts per region."""
     cust = _read(spark, sf_dir, "customer")
@@ -562,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem_q1": _q_agg_lineitem,
         "join_orders_customer": _q_join_orders_customer,
         "join_multiway": _q_join_multiway,
+        "tpch_q3": _q_tpch_q3,
         "events_hourly": _q_events_hourly,
         "multimodal_meta": _q_multimodal_meta,
         "sessionization": _q_sessionization,
@@ -970,6 +1007,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cast(o_totalprice as decimal(18,4))), 2)::double as total_price
             from orders join customer on o_custkey = c_custkey
             group by c_mktsegment
+        """,
+        "tpch_q3": """
+            select l_orderkey,
+                   epoch(o_orderdate)::bigint as odate_epoch,
+                   o_orderpriority,
+                   round(sum(cast(cast(l_extendedprice as decimal(18,4))
+                             * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))
+                             as decimal(28,8))), 2)::double as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1995-03-15 00:00:00'
+              and l_shipdate > timestamp '1995-03-15 00:00:00'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, l_orderkey
+            limit 10
         """,
         "join_multiway": """
             select r_name,

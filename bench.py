@@ -97,6 +97,7 @@ def main() -> None:
     # --- headline operator queries -------------------------------------
     headline = [
         "agg_lineitem_q1",
+        "tpch_q3",
         "window_latest_event",
         "map_merge_agg",
         "events_hourly",

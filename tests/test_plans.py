@@ -70,3 +70,34 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _plan(e.queries()["agg_lineitem_q1"](spark, sf_dir))
     # map-side combine: two HashAggregate levels around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_slice_shuffle_carries_slice_bytes_not_documents(spark):
+    """The slice fan-out's exchange must sit ABOVE the split (so only
+    per-slice bytes move) and partition on (doc_key, slice_index)."""
+    from docling_jobkit_spark.operators.slices import split_slices, spread_slices
+
+    df = spark.createDataFrame(
+        [(0, "u", b"a<!--PAGE_BREAK-->b")], "doc_key long, url string, html binary"
+    )
+    slices = spread_slices(split_slices(df, pages_per_slice=1), 8)
+    plan = _plan(slices)
+    assert "hashpartitioning(doc_key" in plan
+    # whole-document html never enters the exchange: the shuffled schema
+    # is the slice schema
+    assert "slice_html" in plan
+    ex = plan.index("Exchange")
+    assert "html#" not in plan[:ex] or "slice_html" in plan[:ex]
+
+
+def test_scalar_projection_queries_are_pure_codegen(spark, sf_dir):
+    """uri_parts / lang_id / token_window_chunks: single-pass projections —
+    no shuffle, no Python in the plan."""
+    import __spark_entry__ as e
+
+    for name in ("uri_parts", "lang_id", "token_window_chunks"):
+        plan = _plan(e.queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        # executedPlan prints codegen stages as a "*(n)" node prefix
+        assert "WholeStageCodegen" in plan or "*(" in plan, name
