@@ -90,6 +90,35 @@ def stream_hourly_rollup(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the arrival-time twin of
+    ``dedup.exact_duplicates``: first document per normalized-content
+    hash passes, later duplicates within the watermark horizon are
+    dropped. ``dropDuplicatesWithinWatermark`` keys the state store on
+    the 256-bit hash and EVICTS state older than the watermark, so at
+    continuous-crawl scale the state is bounded by the horizon's unique
+    hashes, not the corpus (a plain dropDuplicates would grow forever).
+    Cross-horizon dedup belongs to the batch operator over committed
+    output."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.functions.scalar import normalized_text
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet").load(input_dir)
+    )
+    hashed = pages.withColumn(
+        "content_hash", F.sha2(normalized_text(F.col("text")), 256)
+    )
+    return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def start_file_stream(
     results: DataFrame,
     output_dir: str,

@@ -113,3 +113,54 @@ def test_stateful_sessionization_matches_batch_twin(spark, tmp_path, sf_dir):
     # at most one open (unemitted) session per user remains
     n_users = spark.read.parquet(f"{indir}/events.parquet").select("user_id").distinct().count()
     assert len(exp - got) <= n_users
+
+
+def test_stream_dedup_exact_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving within the watermark
+    horizon are dropped; state is hash-keyed and watermark-bounded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from docling_jobkit_spark.streaming import stream_dedup_exact
+
+    indir = tmp_path / "dd"
+    indir.mkdir()
+    t0 = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "url": f"u{i}",
+                "warc_ts": t0,
+                "html": b"<p>x</p>",
+                # 10 distinct texts, each repeated 4x (case/space variants
+                # that normalize identically)
+                "text": f"Shared   Text {i % 10}" if i % 2 else f"shared text {i % 10}",
+                "lang": "en",
+            }
+        )
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), f"{indir}/b1.parquet")
+
+    out = stream_dedup_exact(spark, str(indir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_t")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select content_hash from dd_t").collect()
+    assert len(got) == 10  # one survivor per normalized content
+    assert len({r["content_hash"] for r in got}) == 10
