@@ -27,7 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output root (results+manifest+metrics)")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
-    ap.add_argument("--num-partitions", type=int, default=256)
+    ap.add_argument(
+        "--num-partitions", type=int, default=None,
+        help="extraction parallelism; default 2 x spark.defaultParallelism "
+             "(scales with the deployment instead of a hard constant)",
+    )
     ap.add_argument("--commit-groups", type=int, default=16)
     ap.add_argument("--no-slicing", action="store_true")
     ap.add_argument("--no-repartition", action="store_true",
@@ -50,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = PipelineConfig(
         max_bytes=args.max_bytes,
-        num_partitions=args.num_partitions,
+        num_partitions=args.num_partitions
+        or spark.sparkContext.defaultParallelism * 2,
         n_commit_groups=args.commit_groups,
         use_slicing=not args.no_slicing,
         repartition=not args.no_repartition,

@@ -101,3 +101,22 @@ def test_scalar_projection_queries_are_pure_codegen(spark, sf_dir):
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
         # executedPlan prints codegen stages as a "*(n)" node prefix
         assert "WholeStageCodegen" in plan or "*(" in plan, name
+
+
+def test_dedup_families_never_plan_quadratic_joins(spark, sf_dir):
+    """The near-dup/ANN candidate joins must be bucketed equi-joins —
+    a cartesian or nested-loop join anywhere in these plans means the
+    blocking broke and the operator is quadratic at scale."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "jaccard_pairs",
+        "minhash_lsh",
+        "simhash_pairs",
+        "embedding_near_dup_lsh",
+        "dedup_exact",
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
