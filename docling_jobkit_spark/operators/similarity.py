@@ -241,6 +241,63 @@ def ivf_topk(
     )
 
 
+def with_ann_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the per-table LSH signatures as COLUMNS — the scale
+    path for repeated ANN queries: write the result partitioned/bucketed
+    by ``sig_0`` (or any table's signature) and every query becomes a
+    partition-pruned point lookup instead of a full scan recomputing
+    signatures per query (``ann_topk``'s predicate form). One pass, one
+    fold per table."""
+    out = df
+    for t in range(n_tables):
+        out = out.withColumn(
+            f"sig_{t}", lsh_signature(vec_col, dim, n_bits, t)
+        )
+    return out
+
+
+def ann_topk_presigned(
+    signed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN over a table produced by ``with_ann_signatures``: candidates =
+    equality of the STORED signature columns against the query's python-
+    computed buckets (identical generator → identical bits), exact cosine
+    re-rank. The filter is a conjunction-free OR of column equalities —
+    partition/bucket-prunable when the table is laid out by signature."""
+    dim = len(query_vec)
+    cond = F.lit(False)
+    for t in range(n_tables):
+        cond = cond | (F.col(f"sig_{t}") == F.lit(query_signature(query_vec, t, n_bits)))
+    return brute_force_topk(signed.filter(cond), query_vec, k, vec_col, id_col)
+
+
+def query_signature(query_vec: list[float], table: int, n_bits: int) -> int:
+    """The query vector's bucket id, computed driver-side with the same
+    deterministic hyperplanes and float64 left-fold as the column form."""
+    dim = len(query_vec)
+    s = 0
+    for b in range(n_bits):
+        plane = _hyperplane(table, b, dim)
+        proj = 0.0
+        for x, p in zip(query_vec, plane):
+            proj += float(x) * p
+        if proj > 0:
+            s |= 1 << b
+    return s
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -255,18 +312,11 @@ def ann_topk(
     store the signatures as partition/bucket columns and this becomes a
     partition-pruned point lookup instead of a scan."""
     dim = len(query_vec)
-
-    def py_sig(table: int) -> int:
-        s = 0
-        for b in range(n_bits):
-            plane = _hyperplane(table, b, dim)
-            proj = sum(float(x) * p for x, p in zip(query_vec, plane))
-            if proj > 0:
-                s |= 1 << b
-        return s
-
     cond = F.lit(False)
     for t in range(n_tables):
-        cond = cond | (lsh_signature(vec_col, dim, n_bits, t) == F.lit(py_sig(t)))
+        cond = cond | (
+            lsh_signature(vec_col, dim, n_bits, t)
+            == F.lit(query_signature(query_vec, t, n_bits))
+        )
     candidates = df.filter(cond)
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)

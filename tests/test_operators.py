@@ -253,3 +253,23 @@ def test_short_doc_shingles_empty_both_engines(spark):
     assert {(r["id_a"], r["id_b"]) for r in jp} == {(3, 4)}
     mh = minhash_near_duplicates(df, threshold_num=1, threshold_den=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in mh} == {(3, 4)}
+
+
+def test_presigned_ann_equals_predicate_ann(spark):
+    """Materialized-signature ANN (the at-scale layout: signatures as
+    bucket columns) must return exactly the predicate-form ann_topk's
+    results."""
+    from docling_jobkit_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_presigned,
+        with_ann_signatures,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    a = ann_topk(emb, q, k=5, n_bits=8, n_tables=4).collect()
+    signed = with_ann_signatures(emb, dim=len(q), n_bits=8, n_tables=4)
+    b = ann_topk_presigned(signed, q, k=5, n_bits=8, n_tables=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
