@@ -10,6 +10,24 @@ Reference lifecycle being replaced (SURVEY §3.2, the multiproc CLI):
 source iteration → DocumentChunk batching → mp.Pool(process_batch) →
 BatchResult aggregation. Spark's scheduler plays the pool; commit groups
 play the durable task state.
+
+Scan multiplicity at scale (deliberate tradeoff, quantified):
+- admission_split's admitted/rejected branches and the slice router's
+  big/small branches are FILTERS of the same scan, so one commit group
+  evaluates the (column-pruned: url+html) source up to 4×, and the run
+  loop does that once per group. Filters-as-branches is what keeps
+  failures as relational rows and admission ahead of the UDF; the
+  alternatives are worse at 100 TB: persist() of the group slice
+  duplicates a corpus-scale payload to executor storage, and routing
+  inside the UDF forfeits scan-level pushdown of the gates.
+- Mitigations that make the re-scans cheap in production: (1) lay the
+  pages table out partitioned by the url-hash bucket — the commit-group
+  predicate (a pmod of that bucket) then PRUNES partitions, so each
+  group scans only its 1/n_commit_groups slice; (2) single-page corpora
+  should run use_slicing=False (the bench does), which removes the
+  big/small branch entirely; (3) the admission gates are cheap codegen
+  predicates over bytes the extractor must read anyway — the marginal
+  cost is I/O, not CPU, and column pruning keeps it to url+html.
 """
 
 from __future__ import annotations
