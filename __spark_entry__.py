@@ -448,6 +448,40 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-set curation composite: quality gates +
+    language-ID agreement + exact-dedup canonicalization in ONE plan —
+    the filter chain a 100 TB corpus build runs before tokenization.
+    Quality/lang are codegen projections (pushed to the scan); the only
+    shuffle is the dedup groupBy on the uniform content hash."""
+    from docling_jobkit_spark.functions.scalar import normalized_text, token_count
+    from docling_jobkit_spark.operators.textstats import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    h = F.sha2(normalized_text("text"), 256)
+    canon = (
+        docs.select(h.alias("content_hash"), F.col("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        h.alias("content_hash"),
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang_pred"),
+    )
+    return (
+        scored.join(canon, on="content_hash")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("n_tokens") >= 20)
+            & (F.col("lang_pred") == F.col("lang"))
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 def _q_uri_parts(spark, sf_dir):
     """P6: filename/URI derivation over a deterministic per-doc url."""
     from docling_jobkit_spark.functions.scalar import uri_parts
@@ -621,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "token_window_chunks": _q_token_window_chunks,
         "uri_parts": _q_uri_parts,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -1075,6 +1110,20 @@ def oracle_sql() -> dict[str, str]:
             where round(list_dot_product(a.embedding, b.embedding)
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.25
+        """,
+        "corpus_curation": f"""
+            with h as (
+              select doc_id, lang, text,
+                     sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as content_hash
+              from documents
+            ), canon as (
+              select content_hash, min(doc_id) as canonical_id from h group by 1
+            )
+            select h.doc_id, h.lang, ({_NTOK})::int as n_tokens
+            from h join canon on h.content_hash = canon.content_hash
+            where h.doc_id = canon.canonical_id
+              and ({_NTOK}) >= 20
+              and ({_LANG_ID_EXPR}) = h.lang
         """,
         "uri_parts": """
             with u as (
