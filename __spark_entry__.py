@@ -452,27 +452,26 @@ def _q_corpus_curation(spark, sf_dir):
     """End-to-end training-set curation composite: quality gates +
     language-ID agreement + exact-dedup canonicalization in ONE plan —
     the filter chain a 100 TB corpus build runs before tokenization.
-    Quality/lang are codegen projections (pushed to the scan); the only
-    shuffle is the dedup groupBy on the uniform content hash."""
-    from docling_jobkit_spark.functions.scalar import normalized_text, token_count
+    Quality/lang are codegen projections (pushed to the scan); ONE scan
+    of documents and ONE shuffle — canonicalization is a window min over
+    the uniform content hash, not a groupBy+self-join (which would scan
+    and hash the corpus twice)."""
+    from pyspark.sql import Window as W
+
+    from docling_jobkit_spark.functions.scalar import content_hash, token_count
     from docling_jobkit_spark.operators.textstats import lang_id
 
     docs = _read(spark, sf_dir, "documents")
-    h = F.sha2(normalized_text("text"), 256)
-    canon = (
-        docs.select(h.alias("content_hash"), F.col("doc_id"))
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("canonical_id"))
-    )
     scored = docs.select(
         "doc_id",
         "lang",
-        h.alias("content_hash"),
+        content_hash("text").alias("content_hash"),
         token_count("text").alias("n_tokens"),
         lang_id("text").alias("lang_pred"),
     )
+    canonical_id = F.min("doc_id").over(W.partitionBy("content_hash"))
     return (
-        scored.join(canon, on="content_hash")
+        scored.withColumn("canonical_id", canonical_id)
         .filter(
             (F.col("doc_id") == F.col("canonical_id"))
             & (F.col("n_tokens") >= 20)

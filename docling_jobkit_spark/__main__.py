@@ -27,8 +27,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output root (results+manifest+metrics)")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+        return n
+
     ap.add_argument(
-        "--num-partitions", type=int, default=None,
+        "--num-partitions", type=_positive_int, default=None,
         help="extraction parallelism; default 2 x spark.defaultParallelism "
              "(scales with the deployment instead of a hard constant)",
     )
@@ -54,15 +60,29 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = PipelineConfig(
         max_bytes=args.max_bytes,
-        num_partitions=args.num_partitions
-        or spark.sparkContext.defaultParallelism * 2,
+        num_partitions=(
+            args.num_partitions
+            if args.num_partitions is not None
+            else spark.sparkContext.defaultParallelism * 2
+        ),
         n_commit_groups=args.commit_groups,
         use_slicing=not args.no_slicing,
         repartition=not args.no_repartition,
     )
     pipe = ExtractionPipeline(spark, cfg)
     pages = pipe.read_pages(args.input)
-    log = pipe.run(pages, args.output, run_id=args.run_id)
+    try:
+        log = pipe.run(pages, args.output, run_id=args.run_id)
+    except OSError as exc:
+        # sink/target failure (fs down, quota, permission): report the
+        # typed taxonomy entry the reference's public errors define —
+        # retryable, so an orchestrator re-invokes and resume skips the
+        # committed groups
+        from docling_jobkit_spark.extractor.errors import PHASE_SINK, classify_failure
+
+        info = classify_failure(exc, phase=PHASE_SINK)
+        print(json.dumps({"run_id": args.run_id, "error": info.as_dict()}))
+        return 2
     results = log.committed_results(spark)
     summary = job_summary(results).collect()[0].asDict() if results is not None else {}
     print(json.dumps({"run_id": args.run_id, "output": args.output, **summary}))

@@ -43,6 +43,14 @@ def fingerprint(col, n: int = 16) -> Column:
     return F.substring(F.sha2(normalized_text(col), 256), 1, n)
 
 
+def content_hash(col) -> Column:
+    """THE canonical dedup key: full sha256 hex of the normalized text.
+    Single definition shared by batch dedup, streaming dedup, and the
+    curation composite — change the normalization policy here and every
+    consumer stays in sync."""
+    return F.sha2(normalized_text(col), 256)
+
+
 def uri_parts(col) -> list[Column]:
     """P6 (SURVEY §2.5): filename/URI derivation — scheme, host, path,
     filename, extension as pure regexp projections. The reference derives

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import normalized_text, stable_hash64, tokens
+from docling_jobkit_spark.functions.scalar import (
+    content_hash,
+    stable_hash64,
+    tokens,
+)
 
 # (a,b) pairs for 16 permutations × 4 rows/band = 64 minhashes; fixed odd
 # multipliers (any odd a works mod 2^61-1 prime field)
@@ -57,10 +61,23 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer intermediate (filter-verify tables:
+    shingle sets, ordered sets, signatures). localCheckpoint truncates
+    lineage and its blocks are GC-released with the DataFrame — the right
+    default for interactive/bench sessions where cached plans would pile
+    up in the CacheManager. TRADEOFF: truncated lineage means an executor
+    loss after materialization fails the job instead of recomputing a few
+    tasks; a long-running production job on preemptible nodes should swap
+    this single call site for .persist(StorageLevel.MEMORY_AND_DISK_2)
+    or a reliable-storage checkpoint."""
+    return df.localCheckpoint(eager=False)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) texts: one row per content
     hash with the canonical id, member count, and member ids."""
-    h = F.sha2(normalized_text(text_col), 256)
+    h = content_hash(text_col)
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
@@ -211,7 +228,8 @@ def _jaccard_pairs_prefix(
     # materialized ONCE: the tokenize→shingle→sha chain is the dominant
     # interpreted cost and would otherwise re-run for the freq agg, the
     # ordering join, and the regroup
-    ).localCheckpoint(eager=False)
+    )
+    sets = _materialize(sets)
     tok = sets.select(
         "id", *block_cols, F.size("sh").alias("n"), F.explode("sh").alias("t")
     )
@@ -229,10 +247,10 @@ def _jaccard_pairs_prefix(
         # verify-a, verify-b); without a materialization Spark recomputes
         # the scan→shingle→freq-join→regroup chain per consumer (measured:
         # 8 parquet scans, 0 reused exchanges). Classic PPJoin materializes
-        # the frequency-ordered lists once — localCheckpoint is the Spark
-        # form (MEMORY_AND_DISK, lineage-truncated, GC-released).
-        .localCheckpoint(eager=False)
+        # the frequency-ordered lists once — see _materialize for the
+        # recoverability tradeoff.
     )
+    ordered = _materialize(ordered)
     n = F.col("n")
     # ceil(n * num / den) in integer arithmetic
     tceil = F.floor((n * threshold_num + threshold_den - 1) / threshold_den).cast("int")
@@ -337,8 +355,11 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: equal band-slice of the
     signature → same bucket → pair. Returns distinct (id_a, id_b)."""
-    sig = spread_for_compute(df).select(
-        F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig")
+    sig = (
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
+        .filter(F.size("sh") > 0)  # see minhash_near_duplicates
+        .select("id", minhash_signature_from_shingles("sh").alias("sig"))
     )
     return _band_candidates(sig)
 
@@ -380,10 +401,14 @@ def minhash_near_duplicates(
     Shingles are computed ONCE and materialized (localCheckpoint): the
     signature fold, both verify joins, and the banding all derive from the
     same shingle table instead of re-tokenizing the corpus per consumer."""
-    sh = (
+    sh = _materialize(
         spread_for_compute(df)
         .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles"))
-        .localCheckpoint(eager=False)
+        # <k-token docs have EMPTY shingle sets; all-empty signatures are
+        # identical, so they'd collide in every band and generate a
+        # quadratic candidate set that the union>0 verify only discards
+        # AFTER the blowup. They can never be output pairs — drop first.
+        .filter(F.size("shingles") > 0)
     )
     sig = sh.select("id", minhash_signature_from_shingles("shingles").alias("sig"))
     cands = _band_candidates(sig)
@@ -458,7 +483,7 @@ def simhash_near_duplicates(
     # materialize the signatures: the chunk explode feeds a self-join
     # (left/right) — without this the interpreted 48-bit sign-sum fold
     # recomputes per branch
-    sh = sh.localCheckpoint(eager=False)
+    sh = _materialize(sh)
     chunks = sh.select(
         "id",
         "sh",

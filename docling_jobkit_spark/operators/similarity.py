@@ -257,7 +257,13 @@ def with_ann_signatures(
     out = df
     for t in range(n_tables):
         out = out.withColumn(
-            f"sig_{t}", lsh_signature(vec_col, dim, n_bits, t)
+            f"sig_{t}",
+            # n_bits rides as column metadata so a later query cannot
+            # silently probe with mismatched parameters (Spark persists
+            # field metadata through its parquet writes)
+            lsh_signature(vec_col, dim, n_bits, t).alias(
+                f"sig_{t}", metadata={"lsh_n_bits": n_bits}
+            ),
         )
     return out
 
@@ -275,8 +281,25 @@ def ann_topk_presigned(
     equality of the STORED signature columns against the query's python-
     computed buckets (identical generator → identical bits), exact cosine
     re-rank. The filter is a conjunction-free OR of column equalities —
-    partition/bucket-prunable when the table is laid out by signature."""
-    dim = len(query_vec)
+    partition/bucket-prunable when the table is laid out by signature.
+
+    Raises if the table's signature columns are missing or were
+    materialized with a different n_bits — a mismatch would otherwise
+    return a silently near-empty candidate set."""
+    fields = {f.name: f for f in signed.schema.fields}
+    for t in range(n_tables):
+        f = fields.get(f"sig_{t}")
+        if f is None:
+            raise ValueError(
+                f"sig_{t} missing: table was materialized with fewer than "
+                f"{n_tables} LSH tables (run with_ann_signatures first)"
+            )
+        stored_bits = f.metadata.get("lsh_n_bits")
+        if stored_bits is not None and stored_bits != n_bits:
+            raise ValueError(
+                f"sig_{t} was materialized with n_bits={stored_bits}, "
+                f"query asked for n_bits={n_bits} — buckets would never match"
+            )
     cond = F.lit(False)
     for t in range(n_tables):
         cond = cond | (F.col(f"sig_{t}") == F.lit(query_signature(query_vec, t, n_bits)))

@@ -296,12 +296,17 @@ def extract_documents_sliced(
     size_ok = (
         F.lit(True) if max_bytes is None else (F.length("html") <= F.lit(max_bytes))
     )
-    counted = pages.withColumn("n_pages", page_count_col("html")).withColumn(
-        # unique per input ROW (urls may repeat); assigned before the
-        # branch so slice rows inherit it through the shuffle
-        "doc_key",
-        F.monotonically_increasing_id(),
-    )
+    counted = pages.withColumn("n_pages", page_count_col("html"))
+    if "doc_key" not in pages.columns:
+        # Unique per input ROW (urls may repeat); assigned before the
+        # branch so slice rows inherit it through every shuffle.
+        # DETERMINISM CONTRACT: monotonically_increasing_id is stable only
+        # when the input's row order is — true for scans/createDataFrame,
+        # NOT for a post-shuffle DataFrame (fetch order varies across
+        # recomputation, which could remap keys under task retry).
+        # Callers that shuffle first must assign doc_key themselves
+        # upstream of the shuffle (ExtractionPipeline does exactly this).
+        counted = counted.withColumn("doc_key", F.monotonically_increasing_id())
     route_sliced = (
         F.col("html").isNotNull()
         & (F.col("n_pages") >= F.lit(slice_min_pages))

@@ -94,6 +94,15 @@ class ExtractionPipeline:
         admitted, rejected = admission_split(
             pages, max_bytes=cfg.max_bytes, max_pages=cfg.max_pages
         )
+        if cfg.use_slicing:
+            # assign the slice-reassembly identity BEFORE any shuffle:
+            # monotonically_increasing_id over the (deterministic) scan
+            # order survives task recomputation; assigning it after the
+            # salted repartition would tie keys to shuffle fetch order
+            # and could remap rows under retry (slices.py contract)
+            admitted = admitted.withColumn(
+                "doc_key", F.monotonically_increasing_id()
+            )
         if cfg.repartition:
             admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
         if cfg.use_slicing:

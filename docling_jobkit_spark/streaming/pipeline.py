@@ -104,16 +104,12 @@ def stream_dedup_exact(
     hashes, not the corpus (a plain dropDuplicates would grow forever).
     Cross-horizon dedup belongs to the batch operator over committed
     output."""
-    from pyspark.sql import functions as F
-
-    from docling_jobkit_spark.functions.scalar import normalized_text
+    from docling_jobkit_spark.functions.scalar import content_hash
 
     pages = (
         spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet").load(input_dir)
     )
-    hashed = pages.withColumn(
-        "content_hash", F.sha2(normalized_text(F.col("text")), 256)
-    )
+    hashed = pages.withColumn("content_hash", content_hash("text"))
     return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )

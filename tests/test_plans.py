@@ -84,10 +84,15 @@ def test_slice_shuffle_carries_slice_bytes_not_documents(spark):
     plan = _plan(slices)
     assert "hashpartitioning(doc_key" in plan
     # whole-document html never enters the exchange: the shuffled schema
-    # is the slice schema
+    # is the slice schema. A standalone `html#N` attribute (negative
+    # lookbehind excludes `slice_html#N`) must not appear ABOVE the
+    # exchange — everything post-shuffle carries only slice bytes.
     assert "slice_html" in plan
     ex = plan.index("Exchange")
-    assert "html#" not in plan[:ex] or "slice_html" in plan[:ex]
+    assert not re.search(r"(?<![a-z_])html#", plan[:ex]), plan[:ex]
+    # ...but the full column IS read below it (sanity that the regex can
+    # see standalone html at all)
+    assert re.search(r"(?<![a-z_])html#", plan[ex:])
 
 
 def test_scalar_projection_queries_are_pure_codegen(spark, sf_dir):

@@ -115,3 +115,47 @@ def test_sliced_path_enforces_max_bytes_policy(spark):
     assert len(got) == 1
     assert got[0]["status"] == "FAILURE" == exp.status
     assert got[0]["error"]["category"] == "POLICY" == exp.error.category
+
+
+def test_pipeline_assigns_doc_key_before_shuffle(spark):
+    """Full pipeline (salted repartition ON + slicing) over paged docs
+    with duplicate urls: doc_key is assigned upstream of the shuffle, so
+    reassembly stays per-input-row even after repartitioning."""
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+
+    a = _paged_doc(5, seed=1)
+    b = _paged_doc(7, seed=2)
+    rows = [("dup://same", a), ("dup://same", b)] + [
+        (f"u{i}", _paged_doc(1, seed=i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(num_partitions=8, use_slicing=True, repartition=True,
+                       slice_min_pages=2, pages_per_slice=1),
+    )
+    got = pipe.extract(df).collect()
+    assert len(got) == 22
+    dup = sorted(
+        (r["n_pages"] for r in got if r["url"] == "dup://same")
+    )
+    assert dup == [5, 7]
+    exp = {extract(a, "dup://same").text, extract(b, "dup://same").text}
+    assert {r["extracted_text"] for r in got if r["url"] == "dup://same"} == exp
+
+
+def test_presigned_ann_rejects_mismatched_bits(spark):
+    import pytest as _pytest
+
+    from docling_jobkit_spark.operators.similarity import (
+        ann_topk_presigned,
+        with_ann_signatures,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    signed = with_ann_signatures(emb, dim=len(q), n_bits=10, n_tables=2)
+    with _pytest.raises(ValueError, match="n_bits=10"):
+        ann_topk_presigned(signed, q, n_bits=8, n_tables=2)
+    with _pytest.raises(ValueError, match="sig_2 missing"):
+        ann_topk_presigned(signed, q, n_bits=10, n_tables=4)
