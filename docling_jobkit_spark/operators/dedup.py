@@ -355,12 +355,12 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: equal band-slice of the
     signature → same bucket → pair. Returns distinct (id_a, id_b)."""
-    sig = (
-        spread_for_compute(df)
-        .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
-        .filter(F.size("sh") > 0)  # see minhash_near_duplicates
-        .select("id", minhash_signature_from_shingles("sh").alias("sig"))
-    )
+    sh = _materialize(
+        spread_for_compute(df).select(
+            F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
+        )
+    ).filter(F.size("sh") > 0)  # empty-set guard, see minhash_near_duplicates
+    sig = sh.select("id", minhash_signature_from_shingles("sh").alias("sig"))
     return _band_candidates(sig)
 
 
@@ -404,12 +404,15 @@ def minhash_near_duplicates(
     sh = _materialize(
         spread_for_compute(df)
         .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles"))
-        # <k-token docs have EMPTY shingle sets; all-empty signatures are
-        # identical, so they'd collide in every band and generate a
-        # quadratic candidate set that the union>0 verify only discards
-        # AFTER the blowup. They can never be output pairs — drop first.
-        .filter(F.size("shingles") > 0)
     )
+    # <k-token docs have EMPTY shingle sets; all-empty signatures are
+    # identical, so they'd collide in every band and generate a quadratic
+    # candidate set that the union>0 verify only discards AFTER the
+    # blowup. They can never be output pairs — drop them here. The filter
+    # sits ABOVE the materialization on purpose: below it, Catalyst
+    # pushes the predicate under the projection and re-inlines the whole
+    # shingle expression (measured ~+50% CPU for a "free" filter).
+    sh = sh.filter(F.size("shingles") > 0)
     sig = sh.select("id", minhash_signature_from_shingles("shingles").alias("sig"))
     cands = _band_candidates(sig)
     j = (
