@@ -58,13 +58,20 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("docling-jobkit-spark", cores=args.cores, tuned=True)
 
+    if args.num_partitions is not None:
+        num_partitions = args.num_partitions
+    elif spark.sparkContext.master.startswith("local"):
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    else:
+        # on a cluster, defaultParallelism is sampled at driver startup
+        # and under dynamic allocation reflects only the INITIAL
+        # executors — floor it so the extraction stage stays wide while
+        # the cluster scales up
+        num_partitions = max(256, spark.sparkContext.defaultParallelism * 2)
+
     cfg = PipelineConfig(
         max_bytes=args.max_bytes,
-        num_partitions=(
-            args.num_partitions
-            if args.num_partitions is not None
-            else spark.sparkContext.defaultParallelism * 2
-        ),
+        num_partitions=num_partitions,
         n_commit_groups=args.commit_groups,
         use_slicing=not args.no_slicing,
         repartition=not args.no_repartition,
@@ -72,12 +79,19 @@ def main(argv: list[str] | None = None) -> int:
     pipe = ExtractionPipeline(spark, cfg)
     pages = pipe.read_pages(args.input)
     try:
+        from py4j.protocol import Py4JJavaError
+
+        sink_errors: tuple[type[BaseException], ...] = (OSError, Py4JJavaError)
+    except ImportError:  # pragma: no cover
+        sink_errors = (OSError,)
+    try:
         log = pipe.run(pages, args.output, run_id=args.run_id)
-    except OSError as exc:
-        # sink/target failure (fs down, quota, permission): report the
-        # typed taxonomy entry the reference's public errors define —
-        # retryable, so an orchestrator re-invokes and resume skips the
-        # committed groups
+    except sink_errors as exc:
+        # sink/target failure: the Spark parquet write surfaces JVM I/O
+        # errors as Py4JJavaError, driver-local manifest I/O as OSError.
+        # Report the typed taxonomy entry the reference's public errors
+        # define — retryable, so an orchestrator re-invokes and resume
+        # skips the committed groups.
         from docling_jobkit_spark.extractor.errors import PHASE_SINK, classify_failure
 
         info = classify_failure(exc, phase=PHASE_SINK)

@@ -56,10 +56,13 @@ def classify_failure(exc: BaseException, phase: str = PHASE_EXTRACT) -> FailureI
         return FailureInfo(CATEGORY_CAPACITY, "out of memory", True, phase)
     if isinstance(exc, TimeoutError):
         return FailureInfo(CATEGORY_TIMEOUT, str(exc) or "timeout", True, phase)
-    if phase == PHASE_SINK and isinstance(exc, OSError):
+    if phase == PHASE_SINK and (
+        isinstance(exc, OSError) or "Py4J" in exc.__class__.__name__
+    ):
         # write-side I/O failure (fs down, connection refused, quota):
         # TARGET_UNAVAILABLE and retryable, per the reference taxonomy
-        # (public_errors.py:101-175 maps sink errors to target category)
+        # (public_errors.py:101-175 maps sink errors to target category).
+        # JVM-side write errors reach Python wrapped as Py4JJavaError.
         return FailureInfo(
             CATEGORY_TARGET_UNAVAILABLE, str(exc) or exc.__class__.__name__, True, phase
         )

@@ -15,11 +15,11 @@ Spark-first re-expression:
 - the SPLIT materializes one row per slice carrying ONLY that slice's
   pages' bytes (one mapInPandas pass over oversized docs — the payload
   crosses the Arrow boundary once, not once per slice);
-- slice rows are hash-REPARTITIONED on (doc_key, slice_index) before
+- slice rows are hash-REPARTITIONED on (_doc_key, slice_index) before
   extraction, so the slices of one giant document genuinely run on many
   cores — the whole point of the fan-out: a 400-page doc would otherwise
   pin one task for minutes;
-- REASSEMBLY groups by a per-input-row ``doc_key`` (urls are NOT unique —
+- REASSEMBLY groups by a per-input-row ``_doc_key`` (urls are NOT unique —
   the corpus deliberately contains duplicate urls with different
   payloads; grouping by url would interleave two documents' slices);
 - byte-exactness is by construction: ``extract()`` DEFINES full-document
@@ -52,7 +52,7 @@ PAGE_BREAK_STR = "<!--PAGE_BREAK-->"
 
 SLICE_SCHEMA = T.StructType(
     [
-        T.StructField("doc_key", T.LongType()),
+        T.StructField("_doc_key", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("slice_index", T.IntegerType()),
         T.StructField("slice_html", T.BinaryType()),
@@ -66,7 +66,7 @@ SLICE_SCHEMA = T.StructType(
 
 SLICE_RESULT_SCHEMA = T.StructType(
     [
-        T.StructField("doc_key", T.LongType()),
+        T.StructField("_doc_key", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("slice_index", T.IntegerType()),
         T.StructField("status", T.StringType()),
@@ -107,7 +107,7 @@ def _split_batches(
     k = pages_per_slice
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in SLICE_SCHEMA.fields}
-        for key, url, html in zip(pdf["doc_key"], pdf["url"], pdf["html"]):
+        for key, url, html in zip(pdf["_doc_key"], pdf["url"], pdf["html"]):
             payload = bytes(html)
             try:
                 payload.decode("utf-8", errors="strict")
@@ -120,7 +120,7 @@ def _split_batches(
             for si in range(n_slices):
                 lo = si * k
                 hi = min(lo + k, n)
-                out["doc_key"].append(int(key))
+                out["_doc_key"].append(int(key))
                 out["url"].append(url)
                 out["slice_index"].append(si + 1)
                 out["slice_html"].append(PAGE_BREAK.join(pages[lo:hi]))
@@ -133,11 +133,11 @@ def _split_batches(
 
 
 def split_slices(big_docs: DataFrame, pages_per_slice: int) -> DataFrame:
-    """(doc_key, url, html) → one row per slice carrying ONLY its pages'
+    """(_doc_key, url, html) → one row per slice carrying ONLY its pages'
     bytes. One Arrow round-trip of the payload total — per-slice rows sum
     to ~the document size (plus dropped markers), so the downstream
     shuffle and extraction never move whole-document bytes again."""
-    cols = big_docs.select("doc_key", "url", "html")
+    cols = big_docs.select("_doc_key", "url", "html")
     return cols.mapInPandas(
         lambda it: _split_batches(it, pages_per_slice), schema=SLICE_SCHEMA
     )
@@ -154,7 +154,7 @@ def _extract_slice_batches(
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in SLICE_RESULT_SCHEMA.fields}
         for key, url, sidx, payload, clean, n_pages, n_bytes in zip(
-            pdf["doc_key"], pdf["url"], pdf["slice_index"], pdf["slice_html"],
+            pdf["_doc_key"], pdf["url"], pdf["slice_index"], pdf["slice_html"],
             pdf["clean"], pdf["n_pages"], pdf["n_bytes"],
         ):
             payload = bytes(payload)
@@ -174,7 +174,7 @@ def _extract_slice_batches(
                 out["spans"].append([])
                 out["error"].append(classify_failure(exc).as_dict())
                 out["timings"].append({})
-            out["doc_key"].append(int(key))
+            out["_doc_key"].append(int(key))
             out["url"].append(url)
             out["slice_index"].append(int(sidx))
             out["n_pages"].append(int(n_pages))
@@ -187,7 +187,7 @@ def extract_slices(slices: DataFrame, profile: str = "default") -> DataFrame:
     pages' bytes + the carried doc-level clean flag / totals), so this map
     runs wherever the repartition put the row."""
     cols = slices.select(
-        "doc_key", "url", "slice_index", "slice_html", "clean", "n_pages", "n_bytes"
+        "_doc_key", "url", "slice_index", "slice_html", "clean", "n_pages", "n_bytes"
     )
     return cols.mapInPandas(
         lambda it: _extract_slice_batches(it, profile), schema=SLICE_RESULT_SCHEMA
@@ -256,16 +256,16 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def reassemble_slices(slice_results: DataFrame) -> DataFrame:
-    """Group by the unique per-input-row doc_key, NOT url: the corpus
+    """Group by the unique per-input-row _doc_key, NOT url: the corpus
     contains duplicate urls with distinct payloads, and a url-keyed group
     would merge two documents' slices into one corrupted row."""
-    return slice_results.groupBy("doc_key").applyInPandas(
+    return slice_results.groupBy("_doc_key").applyInPandas(
         _reassemble_group, schema=RESULT_SCHEMA
     )
 
 
 def spread_slices(slices: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Hash-repartition slice rows on (doc_key, slice_index) so one
+    """Hash-repartition slice rows on (_doc_key, slice_index) so one
     document's slices run on many cores. The partition count is EXPLICIT
     (defaults to spark.sql.shuffle.partitions): AQE would coalesce a
     count-less repartition of a small slice set back into one task,
@@ -275,7 +275,7 @@ def spread_slices(slices: DataFrame, num_partitions: int | None = None) -> DataF
             slices.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     return slices.repartition(
-        num_partitions, F.col("doc_key"), F.col("slice_index")
+        num_partitions, F.col("_doc_key"), F.col("slice_index")
     )
 
 
@@ -297,26 +297,40 @@ def extract_documents_sliced(
         F.lit(True) if max_bytes is None else (F.length("html") <= F.lit(max_bytes))
     )
     counted = pages.withColumn("n_pages", page_count_col("html"))
-    if "doc_key" not in pages.columns:
+    if "_doc_key" in pages.columns:
+        # adopting a caller-provided key: it MUST be the long id this
+        # module's schemas expect, and unique per row (the pipeline's
+        # pre-shuffle monotonically_increasing_id). The underscore name
+        # makes accidental collision with user data unlikely; a wrong
+        # TYPE would otherwise surface as a task failure inside the
+        # splitter, violating the failures-are-rows invariant.
+        dtype = dict(
+            (f.name, f.dataType) for f in pages.schema.fields
+        )["_doc_key"]
+        if not isinstance(dtype, T.LongType):
+            raise ValueError(
+                f"_doc_key column must be LongType (unique per row), got {dtype}"
+            )
+    else:
         # Unique per input ROW (urls may repeat); assigned before the
         # branch so slice rows inherit it through every shuffle.
         # DETERMINISM CONTRACT: monotonically_increasing_id is stable only
         # when the input's row order is — true for scans/createDataFrame,
         # NOT for a post-shuffle DataFrame (fetch order varies across
         # recomputation, which could remap keys under task retry).
-        # Callers that shuffle first must assign doc_key themselves
+        # Callers that shuffle first must assign _doc_key themselves
         # upstream of the shuffle (ExtractionPipeline does exactly this).
-        counted = counted.withColumn("doc_key", F.monotonically_increasing_id())
+        counted = counted.withColumn("_doc_key", F.monotonically_increasing_id())
     route_sliced = (
         F.col("html").isNotNull()
         & (F.col("n_pages") >= F.lit(slice_min_pages))
         & size_ok
     )
     big = counted.filter(route_sliced)
-    small = counted.filter(~route_sliced).drop("n_pages", "doc_key")
+    small = counted.filter(~route_sliced).drop("n_pages", "_doc_key")
 
     direct = extract_documents(small, max_bytes=max_bytes, profile=profile)
-    # spread one document's slices across tasks — hash of (doc_key,
+    # spread one document's slices across tasks — hash of (_doc_key,
     # slice_index) is uniform, and only slice-sized bytes move
     slices = spread_slices(split_slices(big, pages_per_slice), slice_partitions)
     sliced = reassemble_slices(extract_slices(slices, profile))

@@ -101,7 +101,7 @@ class ExtractionPipeline:
             # salted repartition would tie keys to shuffle fetch order
             # and could remap rows under retry (slices.py contract)
             admitted = admitted.withColumn(
-                "doc_key", F.monotonically_increasing_id()
+                "_doc_key", F.monotonically_increasing_id()
             )
         if cfg.repartition:
             admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)

@@ -104,12 +104,24 @@ def stream_dedup_exact(
     hashes, not the corpus (a plain dropDuplicates would grow forever).
     Cross-horizon dedup belongs to the batch operator over committed
     output."""
+    from pyspark.sql import functions as F
+
     from docling_jobkit_spark.functions.scalar import content_hash
 
     pages = (
         spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet").load(input_dir)
     )
-    hashed = pages.withColumn("content_hash", content_hash("text"))
+    # NULL-text rows must NOT dedupe against each other (null keys compare
+    # equal in the state store — all-but-one would be silently dropped);
+    # give them a per-row surrogate key so they always pass through
+    hashed = pages.withColumn(
+        "content_hash",
+        F.coalesce(
+            content_hash("text"),
+            F.concat(F.lit("no-text:"), F.col("url"), F.lit("@"),
+                     F.col("warc_ts").cast("string")),
+        ),
+    )
     return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )

@@ -74,15 +74,15 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 
 def test_slice_shuffle_carries_slice_bytes_not_documents(spark):
     """The slice fan-out's exchange must sit ABOVE the split (so only
-    per-slice bytes move) and partition on (doc_key, slice_index)."""
+    per-slice bytes move) and partition on (_doc_key, slice_index)."""
     from docling_jobkit_spark.operators.slices import split_slices, spread_slices
 
     df = spark.createDataFrame(
-        [(0, "u", b"a<!--PAGE_BREAK-->b")], "doc_key long, url string, html binary"
+        [(0, "u", b"a<!--PAGE_BREAK-->b")], "_doc_key long, url string, html binary"
     )
     slices = spread_slices(split_slices(df, pages_per_slice=1), 8)
     plan = _plan(slices)
-    assert "hashpartitioning(doc_key" in plan
+    assert "hashpartitioning(_doc_key" in plan
     # whole-document html never enters the exchange: the shuffled schema
     # is the slice schema. A standalone `html#N` attribute (negative
     # lookbehind excludes `slice_html#N`) must not appear ABOVE the

@@ -71,7 +71,7 @@ def test_slices_spread_across_partitions_without_amplification(spark):
     from docling_jobkit_spark.operators.slices import split_slices, spread_slices
 
     html = _paged_doc(40)
-    df = spark.createDataFrame([(0, "u1", html)], "doc_key long, url string, html binary")
+    df = spark.createDataFrame([(0, "u1", html)], "_doc_key long, url string, html binary")
     slices = spread_slices(split_slices(df, pages_per_slice=1), 16)
     rows = slices.select(
         F.spark_partition_id().alias("p"), F.length("slice_html").alias("b")
@@ -119,7 +119,7 @@ def test_sliced_path_enforces_max_bytes_policy(spark):
 
 def test_pipeline_assigns_doc_key_before_shuffle(spark):
     """Full pipeline (salted repartition ON + slicing) over paged docs
-    with duplicate urls: doc_key is assigned upstream of the shuffle, so
+    with duplicate urls: _doc_key is assigned upstream of the shuffle, so
     reassembly stays per-input-row even after repartitioning."""
     from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
 
