@@ -172,6 +172,13 @@ def chunk_documents(
     results: DataFrame, max_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:
     """Extraction results → chunk rows (1→N explode via mapInPandas)."""
+    if overlap >= max_tokens:
+        # fail eagerly at plan time: a step <= 0 would otherwise surface
+        # as a TASK failure inside the UDF, against the failures-are-rows
+        # posture (mis-CONFIGURATION is a caller bug, not a document row)
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
     cols = results.select("url", "status", "extracted_text", "spans")
     return cols.mapInPandas(
         lambda it: _chunk_batches(it, max_tokens, overlap), schema=CHUNK_SCHEMA
@@ -194,6 +201,10 @@ def token_window_chunks(
     final window is the first one reaching the end)."""
     from docling_jobkit_spark.functions.scalar import tokens
 
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
     step = max_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)

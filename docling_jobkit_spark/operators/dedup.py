@@ -54,9 +54,19 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     ``spark.sql.shuffle.partitions``, repartition the RAW rows first (a
     tiny shuffle of text, far cheaper than serialized compute). At corpus
     scale the scan already has >= that many splits and this is a no-op —
-    no shuffle is added on the 100 TB path."""
+    no shuffle is added on the 100 TB path.
+
+    Partition inference is PLAN-ONLY: ``inputFiles()`` reads the scan's
+    (already listed, driver-cached) file index — no ``df.rdd`` conversion
+    of the analyzed plan per invocation. A file count below the target is
+    treated as under-parallel; the one imprecision is a handful of giant
+    files that would split into >= target scan partitions anyway, where
+    this adds a harmless repartition — at corpus scale file counts exceed
+    core counts by orders of magnitude and the branch is never taken.
+    Non-file sources (in-memory test relations) report zero files and are
+    repartitioned, which is exactly the single-partition case this guards."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -53,6 +53,12 @@ def _escape_html(c: Column) -> Column:
     return F.regexp_replace(c, ">", "&gt;")
 
 
+def _escape_attr(c: Column) -> Column:
+    """Attribute-position escaping: body entities plus the quote char —
+    a path containing '\"' or '>' must not break out of the attribute."""
+    return F.regexp_replace(_escape_html(c), '"', "&quot;")
+
+
 _HTML_TAG = {
     "heading": "h2",
     "para": "p",
@@ -94,12 +100,18 @@ def doctags_col() -> Column:
     provenance alongside text)."""
     def render(s):
         body = _escape_html(_span_body(s))
+        # kind is constrained to the known block vocabulary (html_col's
+        # discipline): anything unexpected renders as a neutral "block"
+        # tag instead of interpolating free text into tag position
+        tag = F.lit("block")
+        for kind in (*_HTML_TAG, "para"):
+            tag = F.when(s.kind == kind, s.kind).otherwise(tag)
         return F.concat(
-            F.lit("<"), s.kind,
+            F.lit("<"), tag,
             F.lit(' loc="'), s.start.cast("string"), F.lit(":"), s.end.cast("string"),
-            F.lit('" path="'), s.path, F.lit('">'),
+            F.lit('" path="'), _escape_attr(s.path), F.lit('">'),
             body,
-            F.lit("</"), s.kind, F.lit(">"),
+            F.lit("</"), tag, F.lit(">"),
         )
 
     return F.array_join(F.transform(F.col("spans"), render), "\n")

@@ -199,7 +199,10 @@ def ivf_assign(
         ]
     )
     best_cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
-    return df.withColumn("ivf_cell", best_cell)
+    # NULL/empty embeddings score all-NULL cosines → array_position yields
+    # NULL; restore the -1 sentinel so unscorable vectors stay visible in
+    # probe filters and ivf_cell-as-partition-column layouts
+    return df.withColumn("ivf_cell", F.coalesce(best_cell, F.lit(-1)))
 
 
 def deterministic_centroids(
@@ -330,10 +333,12 @@ def ann_topk(
     n_bits: int = 10,
     n_tables: int = 4,
 ) -> DataFrame:
-    """ANN: rows sharing the query's bucket in ANY table, re-ranked by
-    exact cosine. The candidate filter is a pure predicate — at scale,
-    store the signatures as partition/bucket columns and this becomes a
-    partition-pruned point lookup instead of a scan."""
+    """SCAN-FORM BASELINE: rows sharing the query's bucket in ANY table,
+    re-ranked by exact cosine. Each call scans the table and recomputes
+    ``n_tables`` signature folds per row — correct, but the wrong plan for
+    repeated queries at scale. Production lookups should materialize the
+    signatures once with ``with_ann_signatures`` and query through
+    ``ann_topk_presigned`` (a partition/bucket-prunable point lookup)."""
     dim = len(query_vec)
     cond = F.lit(False)
     for t in range(n_tables):

@@ -83,15 +83,24 @@ SLICE_RESULT_SCHEMA = T.StructType(
 def page_count_col(html_col="html") -> Column:
     """JVM-side page count: marker occurrences + 1, 0 for NULL payloads.
 
-    ``cast(binary as string)`` wraps the bytes unchecked and ``split`` on
-    the ASCII marker operates byte-wise, so the count is correct even for
-    payloads that are not valid UTF-8 (verified by test). No Python, no
-    Arrow crossing — the routing decision costs a codegen projection."""
+    ``cast(binary as string)`` wraps the bytes unchecked and the marker is
+    pure ASCII, so the count is correct even for payloads that are not
+    valid UTF-8 (verified by test). No Python, no Arrow crossing — the
+    routing decision costs a codegen projection.
+
+    Occurrences are counted as a LENGTH DIFFERENCE (replace the marker
+    with '' and divide the shrinkage by the marker length) instead of
+    ``size(split(...))``: split would materialize every page substring
+    just to count them, doubling transient memory for every large doc on
+    the admission path (a 70 MB doc briefly held 140 MB per row)."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = c.cast("string")
+    marker_len = len(PAGE_BREAK_STR)
+    n_markers = (
+        F.length(s) - F.length(F.replace(s, F.lit(PAGE_BREAK_STR), F.lit("")))
+    ) / F.lit(marker_len)
     return (
-        F.when(c.isNull(), F.lit(0))
-        .otherwise(F.size(F.split(c.cast("string"), PAGE_BREAK_STR, -1)))
-        .cast("int")
+        F.when(c.isNull(), F.lit(0)).otherwise(n_markers + F.lit(1)).cast("int")
     )
 
 
@@ -240,6 +249,11 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     text = PAGE_JOIN.join(parts)
     if status == "SUCCESS" and not text:
         status = "PARTIAL_SUCCESS"
+    # all-FAILURE docs mirror the single-shot failure row exactly: extract()
+    # only fails through its exception backstop, where n_pages keeps the
+    # ExtractResult default of 1 — emitting the slice-carried page total
+    # here would diverge from the 'output identical either way' contract
+    n_pages = 1 if status == "FAILURE" else int(pdf["n_pages"].max())
     return pd.DataFrame(
         {
             "url": [pdf["url"].iloc[0]],
@@ -247,7 +261,7 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "extracted_text": [text],
             "spans": [spans],
             "error": [first_error],
-            "n_pages": [int(pdf["n_pages"].max())],
+            "n_pages": [n_pages],
             "n_bytes": [int(pdf["n_bytes"].iloc[0])],
             "n_spans": [len(spans)],
             "timings": [merged_timings],

@@ -113,13 +113,21 @@ def stream_dedup_exact(
     )
     # NULL-text rows must NOT dedupe against each other (null keys compare
     # equal in the state store — all-but-one would be silently dropped);
-    # give them a per-row surrogate key so they always pass through
+    # give them a PER-ROW surrogate key so they always pass through. The
+    # uuid() component makes the key unique even for rows sharing
+    # url+timestamp, and concat_ws tolerates a NULL url (a plain concat
+    # would go NULL and collapse every null-url row into one state entry).
     hashed = pages.withColumn(
         "content_hash",
         F.coalesce(
             content_hash("text"),
-            F.concat(F.lit("no-text:"), F.col("url"), F.lit("@"),
-                     F.col("warc_ts").cast("string")),
+            F.concat_ws(
+                "@",
+                F.lit("no-text"),
+                F.coalesce(F.col("url"), F.lit("")),
+                F.col("warc_ts").cast("string"),
+                F.expr("uuid()"),
+            ),
         ),
     )
     return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(

@@ -58,19 +58,22 @@ def _sessionize(
         start = end = None  # type: ignore[assignment]
         n, total = 0, 0.0
 
-    for _, row in events.iterrows():
-        ts_us = int(row["ts"].value // 1000)  # ns → µs
+    # column zip, not iterrows (the repo idiom — iterrows builds a Series
+    # per row and is the slowest pandas iteration, in the one per-event
+    # Python loop of the streaming path)
+    for ts, value in zip(events["ts"], events["value"]):
+        ts_us = int(ts.value // 1000)  # ns → µs
         if start is None:
-            start, end, n, total = ts_us, ts_us, 1, float(row["value"])
+            start, end, n, total = ts_us, ts_us, 1, float(value)
         # gap measured in WHOLE seconds (matches the batch twin's
         # second-quantized lag comparison exactly)
         elif ts_us // 1_000_000 - end // 1_000_000 > GAP_SECONDS:
             closed.append((start, end, n, total))
-            start, end, n, total = ts_us, ts_us, 1, float(row["value"])
+            start, end, n, total = ts_us, ts_us, 1, float(value)
         else:
             end = max(end, ts_us)
             n += 1
-            total += float(row["value"])
+            total += float(value)
 
     state.update((start, end, n, total))
     # close the open session if no event arrives within the gap
