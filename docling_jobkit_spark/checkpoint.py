@@ -4,27 +4,38 @@ The reference guarantees first-terminal-state-wins via Redis WATCH/MULTI
 (``orchestrators/ray/redis_helper.py:950-1078``) and reconciles stale
 executions via lease+heartbeat (``:1225-1266``). Spark gives task-level
 retries for free; what it does NOT give is **cross-run resume**. This
-module re-expresses the reference's durable-result discipline with files:
+module re-expresses the reference's durable-result discipline with the
+reference's own object-store pattern (``convert/results_processor.py:
+372-452``: data files first, then one small manifest PUT):
 
-- results land in commit-group directories ``results/group=<gid>/`` —
-  written to a staging path first, then atomically ``os.rename``d into
-  place (rename is the atomic primitive, exactly the role of Redis MULTI);
-- a manifest JSON per group is written tmp-then-rename into ``manifest/``
-  — a group is committed iff its manifest file exists (the reference's
-  "first terminal status wins": a second writer's rename fails / is
-  skipped, and a partially-written group without a manifest is invisible);
-- resume = anti-join: pages whose commit group already has a manifest are
-  skipped (coarse, partition-pruned), and a ``left_anti`` on url against
-  the committed results guards the fine grain (SURVEY §3.3).
+- each commit attempt writes its parquet files to a UNIQUE final path
+  ``results/group=<gid>/attempt=<attempt>/`` — written once, never
+  renamed (directory rename is atomic on POSIX but does not exist on
+  S3/GCS, where "rename" is a non-atomic copy+delete);
+- a group is committed iff its manifest object exists. The manifest is
+  published with a SINGLE conditional object PUT (create-if-absent) —
+  the atomic terminalization, exactly the role of Redis MULTI. A loser
+  (duplicate concurrent committer, or a retry racing a slow first
+  attempt) fails the conditional PUT, discards its own attempt files,
+  and adopts the winner's manifest;
+- attempt directories without a manifest (crashed attempts, losers that
+  died before cleanup) are INVISIBLE: every read path resolves data
+  locations through manifests, never by listing ``results/``;
+- resume = anti-join: pages whose commit group already has a manifest
+  are skipped (coarse, partition-pruned), and a ``left_anti`` on url
+  against the committed results guards the fine grain (SURVEY §3.3).
 
-The same layout is what the reference's own parquet sink does by hand
-(``convert/results_processor.py:372-452``: parquet files + JSON manifest
-per upload); with an Iceberg catalog the manifest becomes a snapshot
-commit and this module shrinks to a writer config.
+The conditional PUT is emulated on POSIX with ``os.link`` (atomic,
+fails-if-exists, and the content is complete before the name appears —
+a crash mid-write can never publish a torn manifest). On an object
+store the same call maps to ``PutObject`` with ``If-None-Match: *``
+(S3) / ``x-goog-if-generation-match: 0`` (GCS); with an Iceberg catalog
+the manifest becomes a snapshot commit and this module shrinks to a
+writer config.
 
-Scale note: the manifest holds only group ids + counts (bytes, not rows),
-so at 10^12 documents it stays tiny; the fine-grained anti-join is a
-broadcast of committed *bucket ranges*, never a collect of urls.
+Scale note: manifests hold only group ids + attempt paths (bytes, not
+rows), so at 10^12 documents they stay tiny; the fine-grained anti-join
+is a broadcast of committed *bucket ranges*, never a collect of urls.
 """
 
 from __future__ import annotations
@@ -38,18 +49,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _put_if_absent(path: str, payload: bytes) -> bool:
+    """Atomically create ``path`` with ``payload`` iff it does not exist.
+
+    POSIX emulation of an object store's conditional single-object PUT
+    (S3 ``If-None-Match: *`` / GCS ``if-generation-match: 0``): the
+    payload is fully written to a temp name first, then ``os.link``
+    publishes it — link is atomic, fails when the target exists, and
+    never exposes a partially-written object. Returns True iff this
+    caller won the name."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class CommitLog:
-    """Filesystem-backed manifest of committed commit-groups."""
+    """Manifest-of-committed-groups over any filesystem/object store."""
 
     def __init__(self, root: str) -> None:
         self.root = root
         self.results_dir = os.path.join(root, "results")
         self.manifest_dir = os.path.join(root, "manifest")
-        self.staging_dir = os.path.join(root, "_staging")
-        for d in (self.results_dir, self.manifest_dir, self.staging_dir):
+        for d in (self.results_dir, self.manifest_dir):
             os.makedirs(d, exist_ok=True)
 
     # -- commit side --------------------------------------------------
+
+    def _manifest_path(self, gid: int) -> str:
+        return os.path.join(self.manifest_dir, f"group-{gid}.json")
 
     def committed_groups(self) -> set[int]:
         out = set()
@@ -58,39 +94,64 @@ class CommitLog:
                 out.add(int(name[len("group-"):-len(".json")]))
         return out
 
+    def read_manifest(self, gid: int) -> dict | None:
+        try:
+            with open(self._manifest_path(gid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def group_result_path(self, gid: int) -> str:
+        """The committed group's data location (from its manifest); before
+        any commit, the group's base directory (where a crashed legacy
+        attempt might sit — without a manifest it stays invisible)."""
+        m = self.read_manifest(gid)
+        if m is not None:
+            return m["path"]
         return os.path.join(self.results_dir, f"group={gid}")
 
-    def commit_group(self, gid: int, results: DataFrame) -> dict:
-        """Write one group's results parquet + manifest, atomically.
+    def _attempt_path(self, gid: int, attempt: str) -> str:
+        return os.path.join(self.results_dir, f"group={gid}", f"attempt={attempt}")
 
-        Idempotent: if the manifest already exists the write is skipped
-        (first terminal state wins, ``redis_helper.py:1001-1041`` analog).
-        """
-        manifest_path = os.path.join(self.manifest_dir, f"group-{gid}.json")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                return json.load(f)
-
+    def _write_attempt(self, gid: int, results: DataFrame) -> dict:
+        """Phase 1: data files to a unique final path — no rename ever."""
         attempt = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.staging_dir, f"group={gid}-{attempt}")
-        results.write.mode("overwrite").parquet(staging)
+        path = self._attempt_path(gid, attempt)
+        results.write.mode("error").parquet(path)
+        return {"gid": gid, "attempt": attempt, "path": path}
 
-        final = self.group_result_path(gid)
-        if os.path.exists(final):  # stale attempt left behind: replace
-            shutil.rmtree(final)
-        os.rename(staging, final)
+    def _publish(self, manifest: dict) -> dict:
+        """Phase 2: one conditional manifest PUT = the terminalization.
 
-        counts = {"gid": gid, "attempt": attempt, "path": final}
-        tmp = manifest_path + f".tmp-{attempt}"
-        with open(tmp, "w") as f:
-            json.dump(counts, f)
-        os.rename(tmp, manifest_path)  # the atomic terminalization
-        return counts
+        First terminal state wins: a losing committer's data files are
+        deleted best-effort (they were never visible) and the WINNER's
+        manifest is returned, so every caller converges on one result."""
+        gid = manifest["gid"]
+        payload = json.dumps(manifest).encode()
+        if _put_if_absent(self._manifest_path(gid), payload):
+            return manifest
+        shutil.rmtree(manifest["path"], ignore_errors=True)
+        won = self.read_manifest(gid)
+        assert won is not None, f"manifest for group {gid} vanished"
+        return won
+
+    def commit_group(self, gid: int, results: DataFrame) -> dict:
+        """Write one group's results parquet + manifest, exactly-once.
+
+        Idempotent: if the manifest already exists nothing is written
+        (first terminal state wins, ``redis_helper.py:1001-1041`` analog);
+        under a concurrent duplicate committer, exactly one manifest PUT
+        succeeds and both callers return it."""
+        existing = self.read_manifest(gid)
+        if existing is not None:
+            return existing
+        return self._publish(self._write_attempt(gid, results))
 
     # -- resume side ---------------------------------------------------
 
     def committed_results(self, spark: SparkSession) -> DataFrame | None:
+        """Union of committed groups — paths resolved THROUGH manifests,
+        so orphaned attempt directories are never read."""
         gids = sorted(self.committed_groups())
         if not gids:
             return None

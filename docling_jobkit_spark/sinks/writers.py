@@ -23,6 +23,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from docling_jobkit_spark.checkpoint import _put_if_absent
+
 MAX_FILE_BYTES = 500 * 1024 * 1024  # reference cap: results_processor.py:29
 
 
@@ -72,9 +74,11 @@ def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -
         ],
         "total_rows": int(sum(r["n_rows"] for r in per_file)),
     }
-    tmp = manifest_path + ".tmp"
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.rename(tmp, manifest_path)  # atomic, first-terminal-wins
+    payload = json.dumps(manifest, indent=1).encode()
+    # single conditional object PUT — first terminal state wins, and the
+    # primitive exists on object stores (no rename; see checkpoint.py)
+    if not _put_if_absent(manifest_path, payload):
+        with open(manifest_path) as f:
+            return json.load(f)
     return manifest

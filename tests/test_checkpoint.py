@@ -1,12 +1,16 @@
-"""CommitLog unit tests: idempotency, atomicity discipline, stale-attempt
-replacement (the first-terminal-state-wins contract,
-``redis_helper.py:950-1078`` analog)."""
+"""CommitLog unit tests: idempotency, object-store-safe terminalization
+(data files to a unique path + one conditional manifest PUT — no rename
+anywhere), crashed-attempt invisibility, and first-terminal-wins under a
+duplicate concurrent committer (the ``redis_helper.py:950-1078`` analog)."""
 
 from __future__ import annotations
 
+import json
 import os
 
-from docling_jobkit_spark.checkpoint import CommitLog
+import pytest
+
+from docling_jobkit_spark.checkpoint import CommitLog, _put_if_absent
 
 
 def _df(spark, urls):
@@ -24,15 +28,79 @@ def test_commit_is_idempotent(spark, tmp_path):
 
 def test_partial_write_without_manifest_is_invisible(spark, tmp_path):
     log = CommitLog(str(tmp_path / "o"))
-    # simulate a crashed attempt: results dir present, no manifest
-    _df(spark, ["x"]).write.parquet(log.group_result_path(1))
+    # simulate a crashed attempt: data files present, no manifest PUT
+    crashed = log._write_attempt(1, _df(spark, ["x"]))
+    assert os.path.isdir(crashed["path"])
     assert log.committed_groups() == set()
     assert log.committed_results(spark) is None
-    # a later successful commit replaces the stale directory atomically
+    # a later successful commit supersedes the orphan WITHOUT touching it:
+    # readers resolve data through the manifest, never by listing
     log.commit_group(1, _df(spark, ["y"]))
     rows = {r["url"] for r in spark.read.parquet(log.group_result_path(1)).collect()}
     assert rows == {"y"}
     assert log.committed_groups() == {1}
+    got = {r["url"] for r in log.committed_results(spark).collect()}
+    assert got == {"y"}  # the orphan attempt's "x" is invisible
+
+
+def test_duplicate_concurrent_committers_first_terminal_wins(spark, tmp_path):
+    """Interleaved race: both committers finish their data writes before
+    either publishes. Exactly one manifest PUT succeeds; the loser adopts
+    the winner's manifest and its own files are discarded — no duplicate
+    rows can ever be read."""
+    root = str(tmp_path / "o")
+    log_a, log_b = CommitLog(root), CommitLog(root)
+    attempt_a = log_a._write_attempt(0, _df(spark, ["a1", "a2"]))
+    attempt_b = log_b._write_attempt(0, _df(spark, ["b1", "b2"]))
+
+    won_b = log_b._publish(attempt_b)   # B terminalizes first
+    won_a = log_a._publish(attempt_a)   # A loses the conditional PUT
+    assert won_a == won_b == log_a.read_manifest(0)
+    assert won_a["attempt"] == attempt_b["attempt"]
+    assert not os.path.exists(attempt_a["path"])  # loser cleaned up
+
+    rows = sorted(r["url"] for r in log_a.committed_results(spark).collect())
+    assert rows == ["b1", "b2"]  # exactly one attempt visible, no dupes
+
+
+def test_put_if_absent_is_exclusive_and_never_torn(tmp_path):
+    target = str(tmp_path / "m.json")
+    assert _put_if_absent(target, b'{"v": 1}')
+    assert not _put_if_absent(target, b'{"v": 2}')  # loser
+    with open(target) as f:
+        assert json.load(f) == {"v": 1}
+    # no temp residue (the staged object is always unlinked)
+    assert os.listdir(str(tmp_path)) == ["m.json"]
+
+
+def test_no_rename_in_commit_path():
+    """The object-store-safety property itself: the commit module must not
+    rely on rename/move primitives (atomic on POSIX, nonexistent on object
+    stores) — data files go straight to their unique final path and the
+    manifest is a single conditional PUT."""
+    import inspect
+
+    import docling_jobkit_spark.checkpoint as cp
+
+    src = inspect.getsource(cp)
+    for banned in ("os.rename", "os.replace", "shutil.move"):
+        assert banned not in src, f"commit path uses {banned}"
+
+
+def test_sink_manifest_is_conditional_put(spark, tmp_path):
+    """write_manifest publishes with the same no-rename conditional PUT:
+    a second writer gets the FIRST manifest back, unmodified."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_manifest, write_results
+
+    out = str(tmp_path / "res")
+    write_results(_df(spark, ["a"]).withColumn("status", F.lit("SUCCESS")), out)
+    mpath = str(tmp_path / "manifest" / "m.json")
+    m1 = write_manifest(spark, out, mpath)
+    m2 = write_manifest(spark, out, mpath)
+    assert m1 == m2
+    assert m1["total_rows"] == 1
 
 
 def test_remaining_pages_prunes_committed_groups(spark, tmp_path):

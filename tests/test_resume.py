@@ -17,7 +17,11 @@ CFG = PipelineConfig(
 
 
 def _read_results(spark, root):
-    return spark.read.parquet(f"{root}/results/group=*")
+    from docling_jobkit_spark.checkpoint import CommitLog
+
+    # resolve data locations through manifests (never a results/ glob —
+    # orphaned attempt dirs must stay invisible)
+    return CommitLog(root).committed_results(spark)
 
 
 def test_crash_then_resume_replays_only_missing(spark, pages_path, corpus_rows, tmp_path):
@@ -91,7 +95,7 @@ def test_resume_with_slicing_enabled(spark, pages_path, corpus_rows, tmp_path):
     with pytest.raises(RuntimeError):
         pipe.run(pages, root, run_id="s1", fail_after_groups=1)
     pipe.run(pages, root, run_id="s2")
-    results = spark.read.parquet(f"{root}/results/group=*")
+    results = _read_results(spark, root)
     got = {
         (r["url"], r["extracted_text"]) for r in results.select("url", "extracted_text").collect()
     }
