@@ -428,6 +428,23 @@ def _q_flagship_extract_full(spark, sf_dir):
     return pipe.extract(pages)
 
 
+def _q_extract_dedup_exact(spark, sf_dir):
+    """Exact dedup over EXTRACTION RESULTS via the STAMPED content_hash
+    (extract stamps the canonical dedup key — downstream dedup never
+    re-normalizes corpus-scale text). Extractor-bound → rows-only driver
+    check; stamped == recomputed hash is pytest-pinned
+    (tests/test_identity.py)."""
+    out = _q_flagship_extract_full(spark, sf_dir)
+    return (
+        out.filter(F.col("status") != "FAILURE")
+        .groupBy("content_hash")
+        .agg(
+            F.min("url").alias("canonical_url"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, label-blocked."""
     from docling_jobkit_spark.operators.similarity import embedding_near_duplicates
@@ -623,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "extract_dedup_exact": _q_extract_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,

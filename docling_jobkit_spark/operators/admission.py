@@ -90,8 +90,12 @@ def admission_split(
         F.lit(0).alias("n_spans"),
         F.expr("map()").cast("map<string,double>").alias("timings"),
     )
-    # lock the exact schema (nullable binary edge cases)
+    # lock the exact schema (nullable binary edge cases), then stamp the
+    # identity columns so rejected rows union cleanly with extraction
+    # output (FAILURE rows: NULL hash, 0.0 confidence)
+    from docling_jobkit_spark.operators.extract_op import with_document_identity
+
     rejected = rejected.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in RESULT_SCHEMA.fields]
     )
-    return admitted, rejected
+    return admitted, with_document_identity(rejected)

@@ -68,6 +68,55 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# document-identity columns stamped ON TOP of RESULT_SCHEMA by every
+# extraction operator (the reference's ExportableDocument carries
+# document_hash + confidence, ``datamodel/exportable_document.py:53-122``)
+FULL_RESULT_SCHEMA = T.StructType(
+    [
+        *RESULT_SCHEMA.fields,
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+
+def with_document_identity(results: DataFrame) -> DataFrame:
+    """Stamp the canonical dedup key + a confidence proxy onto extraction
+    results (ref ``exportable_document.py:53-122``: document_hash,
+    confidence ride in the result payload):
+
+    - ``content_hash``: THE canonical dedup key — the same normalized
+      sha256 every dedup/curation operator uses (functions.scalar), so
+      downstream dedup consumes the stamped column instead of
+      re-normalizing corpus-scale text. NULL for FAILURE rows: failed
+      docs all have empty text and must not collapse into one group.
+    - ``confidence``: extracted-to-input character density, clipped to
+      [0,1] — a deterministic proxy for the reference's model-derived
+      confidence (boilerplate-heavy or barely-parsed pages score low).
+      0.0 for FAILURE rows.
+
+    A pure codegen projection over the FINAL rows, so the sliced and
+    single-shot paths stamp byte-identical values by construction."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.functions.scalar import content_hash
+
+    failed = F.col("status") == "FAILURE"
+    density = F.least(
+        F.lit(1.0),
+        F.length("extracted_text").cast("double")
+        / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"),
+    )
+    return results.withColumn(
+        "content_hash",
+        F.when(failed, F.lit(None).cast("string")).otherwise(
+            content_hash("extracted_text")
+        ),
+    ).withColumn(
+        "confidence",
+        F.when(failed, F.lit(0.0)).otherwise(F.round(density, 6)),
+    )
+
 
 def _extract_batches(
     batches: Iterator[pd.DataFrame], max_bytes: int | None, profile: str
@@ -112,9 +161,11 @@ def extract_documents(
 
     Column pruning: only (url, html) cross the Arrow boundary — Catalyst
     prunes the parquet scan down to those two columns (verify with
-    ``.explain``: ReadSchema contains url,html only).
+    ``.explain``: ReadSchema contains url,html only). Output carries the
+    document-identity columns (FULL_RESULT_SCHEMA).
     """
     pruned = pages.select("url", "html")
-    return pruned.mapInPandas(
+    mapped = pruned.mapInPandas(
         lambda it: _extract_batches(it, max_bytes, profile), schema=RESULT_SCHEMA
     )
+    return with_document_identity(mapped)

@@ -46,6 +46,7 @@ from docling_jobkit_spark.operators.extract_op import (
     RESULT_SCHEMA,
     SPAN_TYPE,
     extract_documents,
+    with_document_identity,
 )
 
 PAGE_BREAK_STR = "<!--PAGE_BREAK-->"
@@ -347,5 +348,8 @@ def extract_documents_sliced(
     # spread one document's slices across tasks — hash of (_doc_key,
     # slice_index) is uniform, and only slice-sized bytes move
     slices = spread_slices(split_slices(big, pages_per_slice), slice_partitions)
-    sliced = reassemble_slices(extract_slices(slices, profile))
+    # identity stamped over the FINAL reassembled rows — same projection
+    # as the direct branch (inside extract_documents), identical values
+    # by construction
+    sliced = with_document_identity(reassemble_slices(extract_slices(slices, profile)))
     return direct.unionByName(sliced)
