@@ -216,6 +216,38 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=8, n_tables=4)
 
 
+def _q_ann_presigned(spark, sf_dir):
+    """THE at-scale ANN plan (driver-checked): signatures materialized
+    ONCE as columns (with_ann_signatures — at 100 TB this is the write-
+    time layout, partitioned/bucketed by sig_0), then the query is a
+    candidate filter over STORED columns + exact re-rank — a partition/
+    bucket-prunable point lookup, zero signature recomputation per query.
+    ``ann_lsh_topk`` remains the scan-form baseline."""
+    from docling_jobkit_spark.operators.similarity import (
+        ann_topk_presigned,
+        with_ann_signatures,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    signed = with_ann_signatures(emb, dim=64, n_bits=8, n_tables=4)
+    return ann_topk_presigned(
+        signed, _query_vec(spark, sf_dir), k=10, n_bits=8, n_tables=4
+    )
+
+
+def _q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a TRAINED deterministic codebook (farthest-point init +
+    Lloyd, driver-side on a bounded sample) — the honest-recall variant
+    of ivf_topk. Iterative algorithm → no SQL oracle (rows-only driver
+    check); determinism + recall-vs-seeds are pytest-pinned
+    (tests/test_operators.py)."""
+    from docling_jobkit_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, n_iter=4, sample_n=512)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=5, n_probe=2)
+
+
 def _q_char_chunks(spark, sf_dir):
     from docling_jobkit_spark.operators.chunker import char_chunks
 
@@ -465,6 +497,19 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup_lsh_multi(spark, sf_dir):
+    """Multi-table LSH near-dup: candidates OR-ed across 2 independent
+    signature tables with pair dedup before verification — recovers the
+    recall a single table loses to bucket splits, same bounded-bucket
+    property (recall vs exact is measured in tests/test_operators.py)."""
+    from docling_jobkit_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.25, block_col=None, lsh_bits=8, dim=64, lsh_tables=2
+    )
+
+
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end training-set curation composite: quality gates +
     language-ID agreement + exact-dedup canonicalization in ONE plan —
@@ -647,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_presigned_topk": _q_ann_presigned,
         "char_chunks": _q_char_chunks,
         "explode_reassemble": _q_explode_reassemble,
         "anti_join_resume": _q_anti_join_resume,
@@ -665,11 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "rolling_hash": _q_rolling_hash,
         "ivf_topk": _q_ivf_topk,
+        "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "export_markdown": _q_export_markdown,
         "export_html": _q_export_html,
         "doc_features": _q_doc_features,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_near_dup_lsh_multi": _q_embedding_near_dup_lsh_multi,
         "token_window_chunks": _q_token_window_chunks,
         "uri_parts": _q_uri_parts,
         "corpus_curation": _q_corpus_curation,
@@ -817,6 +865,56 @@ def _ann_lsh_oracle_sql() -> str:
         where {ors}
         order by cosine desc, vec_id
         limit 5
+    """
+
+
+def _ann_presigned_oracle_sql() -> str:
+    """Exact twin of _q_ann_presigned: the stored-signature candidate
+    filter is semantically identical to recomputing the signatures (same
+    deterministic hyperplanes), so the oracle is the OR-of-buckets form
+    with the presigned query's parameters (n_bits=8, 4 tables, k=10)."""
+    ors = " or ".join(
+        f"{_lsh_sig_sql('e.v', t)} = {_lsh_sig_sql('q.qv', t)}" for t in range(4)
+    )
+    return f"""
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        q as (select v as qv from e where vec_id = 0)
+        select e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) as cosine
+        from e, q
+        where {ors}
+        order by cosine desc, vec_id
+        limit 10
+    """
+
+
+def _embedding_lsh_multi_oracle_sql(n_tables: int = 2) -> str:
+    """Exact twin of _q_embedding_near_dup_lsh_multi: UNION (distinct) of
+    per-table candidate joins, one exact-cosine verification per pair."""
+    cand = "\n          union\n".join(
+        f"""          select a.vec_id as id_a, b.vec_id as id_b
+          from s a join s b on a.blk_{t} = b.blk_{t} and a.vec_id < b.vec_id"""
+        for t in range(n_tables)
+    )
+    sigs = ", ".join(f"{_lsh_sig_sql('v', t)} as blk_{t}" for t in range(n_tables))
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        s as (select vec_id, v, {sigs} from e),
+        cand as (
+{cand}
+        )
+        select c.id_a as vec_id_a, c.id_b as vec_id_b, {cos} as cosine
+        from cand c
+        join e a on a.vec_id = c.id_a
+        join e b on b.vec_id = c.id_b
+        where {cos} >= 0.25
     """
 
 
@@ -1159,8 +1257,10 @@ def oracle_sql() -> dict[str, str]:
             from u
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_presigned_topk": _ann_presigned_oracle_sql(),
         "ivf_topk": _IVF_ORACLE_SQL,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        "embedding_near_dup_lsh_multi": _embedding_lsh_multi_oracle_sql(),
         "token_window_chunks": _TOKEN_WINDOW_ORACLE_SQL,
         "sessionization": """
             with g as (

@@ -118,9 +118,12 @@ def main() -> None:
         "simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_presigned_topk",
         "ivf_topk",
+        "ivf_kmeans_topk",
         "embedding_near_dup",
         "embedding_near_dup_lsh",
+        "embedding_near_dup_lsh_multi",
         "char_chunks",
         "token_window_chunks",
         "token_count",

@@ -68,19 +68,26 @@ def embedding_near_duplicates(
     lsh_bits: int | None = None,
     dim: int | None = None,
     lsh_table: int = 0,
+    lsh_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of the
     text dedup family): blocked self-join + exact cosine.
 
-    Two blocking modes:
-    - ``block_col``: a metadata block (label/lang/domain) — candidate set
-      is quadratic PER BLOCK, fine when blocks stay small;
+    Blocking modes:
+    - ``block_col``: a metadata block (label/lang/domain) — BASELINE /
+      VERIFICATION ONLY: the candidate set is quadratic PER BLOCK, so a
+      low-cardinality block column at corpus scale is a cartesian bomb.
+      Use the LSH mode for production near-dup sweeps.
     - ``lsh_bits=k`` (requires ``dim``): block = the k-bit random-
       hyperplane signature, the SCALE path — bucket population falls
       geometrically with k, so the per-bucket self-join stays bounded at
       any corpus size (near-identical vectors land in the same bucket by
       construction). Approximate by design: pairs split across buckets
-      are missed, exactly the LSH recall trade.
+      are missed — ``lsh_tables=T`` recovers recall by OR-ing T
+      independent signature tables (a pair is a candidate if it
+      collides in ANY table; candidates are deduped before the exact
+      cosine so each pair is verified once). Cost is T bounded-bucket
+      equi-joins — still never quadratic.
     Threshold compared on the ROUNDED value so the result set is
     identical across engines."""
     from docling_jobkit_spark.operators.dedup import spread_for_compute
@@ -89,6 +96,10 @@ def embedding_near_duplicates(
     if lsh_bits is not None:
         if dim is None:
             raise ValueError("lsh_bits requires dim (embedding dimensionality)")
+        if lsh_tables > 1:
+            return _lsh_multi_table_pairs(
+                df, threshold, vec_col, id_col, lsh_bits, dim, lsh_tables
+            )
         block_expr = lsh_signature(vec_col, dim, lsh_bits, lsh_table)
         names = ["id", "v", "blk"]
         base = df.select(
@@ -111,6 +122,61 @@ def embedding_near_duplicates(
     pairs = a.join(b, on=cond)
     cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
     return pairs.select(
+        F.col("id_a").alias("vec_id_a"),
+        F.col("id_b").alias("vec_id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _lsh_multi_table_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    lsh_bits: int,
+    dim: int,
+    n_tables: int,
+) -> DataFrame:
+    """OR-of-tables LSH blocking: all T signatures computed in ONE pass
+    over each vector (one fold per table, materialized so the T
+    self-joins don't each recompute the interpreted signature chain),
+    candidates unioned across tables and deduped on (id_a, id_b) BEFORE
+    the exact cosine — each surviving pair pays exactly one verification
+    regardless of how many tables it collided in."""
+    from docling_jobkit_spark.operators.dedup import _materialize
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *[
+            lsh_signature(vec_col, dim, lsh_bits, t).alias(f"blk_{t}")
+            for t in range(n_tables)
+        ],
+    )
+    base = _materialize(base)
+    per_table = []
+    for t in range(n_tables):
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col(f"blk_{t}").alias("blk_a"),
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col(f"blk_{t}").alias("blk_b"),
+        )
+        per_table.append(
+            a.join(
+                b,
+                on=(F.col("blk_a") == F.col("blk_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            ).select("id_a", "id_b", "v_a", "v_b")
+        )
+    cand = per_table[0]
+    for p in per_table[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+    return cand.select(
         F.col("id_a").alias("vec_id_a"),
         F.col("id_b").alias("vec_id_b"),
         cos.alias("cosine"),
@@ -208,10 +274,86 @@ def ivf_assign(
 def deterministic_centroids(
     df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:
-    """k seed centroids: the k lowest-id vectors (deterministic; a real
-    deployment would run k-means — the plan shape is identical)."""
+    """k seed centroids: the k lowest-id vectors — ORACLE-DETERMINISM
+    BASELINE (trivially reproducible in SQL). Recall on real embeddings
+    is poor when the low-id vectors cluster together; production IVF
+    should train with ``kmeans_centroids`` (same plan shape — the
+    centroids are literals either way)."""
     rows = df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else -2.0
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 4,
+    sample_n: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic spherical k-means codebook, driver-side on a
+    lowest-id sample (the codebook is tiny — k literals — so training on
+    a bounded sample is the standard IVF discipline; the FULL corpus is
+    then assigned relationally by ``ivf_assign``).
+
+    Deterministic by construction, no RNG anywhere:
+    - sample = the ``sample_n`` lowest-id vectors (a stable ORDER BY);
+    - init = farthest-point (maxmin) seeding: seed 0 is the lowest-id
+      vector, each next seed maximizes its distance to the chosen set —
+      unlike lowest-id seeding this provably spreads seeds across
+      clusters, and unlike k-means++ it needs no randomness;
+    - Lloyd iterations with the SAME assignment rule as ``ivf_assign``
+      (argmax of the 6-rounded cosine, lowest cell wins ties); empty
+      cells keep their previous centroid.
+
+    Every step is a pure function of the data, so repeated runs (and the
+    pytest recall fixture) reproduce the identical codebook."""
+    rows = (
+        df.orderBy(F.col(id_col)).limit(sample_n).select(vec_col).collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows if r[0] is not None]
+    if not vecs:
+        raise ValueError("kmeans_centroids: no non-null vectors in sample")
+    k = min(k, len(vecs))
+
+    # farthest-point init (deterministic k-means++ stand-in)
+    cents = [list(vecs[0])]
+    # nearest-seed similarity per sample vector (higher = closer)
+    best_sim = [round(_py_cosine(v, cents[0]), 6) for v in vecs]
+    while len(cents) < k:
+        # the vector FARTHEST from its nearest seed; lowest index ties
+        far_i = min(range(len(vecs)), key=lambda i: (best_sim[i], i))
+        cents.append(list(vecs[far_i]))
+        for i, v in enumerate(vecs):
+            s = round(_py_cosine(v, cents[-1]), 6)
+            if s > best_sim[i]:
+                best_sim[i] = s
+
+    dim = len(vecs[0])
+    for _ in range(n_iter):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for v in vecs:
+            sims = [round(_py_cosine(v, c), 6) for c in cents]
+            best = max(range(k), key=lambda i: (sims[i], -i))
+            counts[best] += 1
+            s = sums[best]
+            for d, x in enumerate(v):
+                s[d] += x
+        cents = [
+            [s / counts[i] for s in sums[i]] if counts[i] else cents[i]
+            for i in range(k)
+        ]
+    return cents
 
 
 def ivf_topk(

@@ -273,3 +273,82 @@ def test_presigned_ann_equals_predicate_ann(spark):
     assert [(r["vec_id"], r["cosine"]) for r in a] == [
         (r["vec_id"], r["cosine"]) for r in b
     ]
+
+
+def _three_cluster_vectors():
+    """Three well-separated clusters; the 10 LOWEST ids all sit in
+    cluster 0 — the layout where lowest-id seeding fails."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0, 0.0, 0.01 * i]))
+    for i in range(10, 20):
+        rows.append((i, [0.01 * (i - 10), 1.0, 0.0, 0.0]))
+    for i in range(20, 30):
+        rows.append((i, [0.0, 0.01 * (i - 20), 1.0, 0.0]))
+    return rows
+
+
+def test_kmeans_centroids_recover_recall_where_lowest_id_seeds_fail(spark):
+    """Trained-codebook IVF (farthest-point init + Lloyd) vs the lowest-id
+    seed baseline on a fixture where all low ids share one cluster:
+    seeds give recall 0, k-means gives recall 1 — and the codebook is a
+    pure function of the data (bit-identical across runs)."""
+    from docling_jobkit_spark.operators.similarity import (
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        _three_cluster_vectors(), "vec_id long, embedding array<float>"
+    )
+    q = [0.0, 0.0, 1.0, 0.005]  # a cluster-2 query
+    brute = {r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()}
+
+    seeds = deterministic_centroids(df, k=3)
+    km = kmeans_centroids(df, k=3, n_iter=4, sample_n=30)
+    assert km == kmeans_centroids(df, k=3, n_iter=4, sample_n=30)  # deterministic
+
+    got_seeds = {r["vec_id"] for r in ivf_topk(df, q, seeds, k=5, n_probe=1).collect()}
+    got_km = {r["vec_id"] for r in ivf_topk(df, q, km, k=5, n_probe=1).collect()}
+    recall_seeds = len(got_seeds & brute) / 5
+    recall_km = len(got_km & brute) / 5
+    assert recall_seeds == 0.0  # every lowest-id centroid is cluster 0
+    assert recall_km == 1.0    # farthest-point init spreads across clusters
+
+
+def test_ivf_assign_null_embedding_gets_sentinel_cell(spark):
+    from docling_jobkit_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert cells[0] == 0
+    assert cells[1] == -1 and cells[2] == -1  # unscorable → sentinel, not NULL
+
+
+def test_multi_table_lsh_recovers_recall_without_quadratic_join(spark):
+    """OR-of-tables blocking: multi-table candidates are a superset of
+    single-table candidates and a subset of the exact all-pairs result,
+    with no duplicate pairs — recall monotonically recovers with tables."""
+    from docling_jobkit_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def pairs(**kw):
+        rows = embedding_near_duplicates(emb, threshold=0.25, **kw).collect()
+        got = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+        assert len(got) == len(set(got)), "duplicate pairs leaked"
+        return set(got)
+
+    exact = pairs(block_col=None)  # all-pairs baseline (test scale only)
+    single = pairs(block_col=None, lsh_bits=8, dim=64)
+    multi = pairs(block_col=None, lsh_bits=8, dim=64, lsh_tables=2)
+    assert single <= multi <= exact
+    assert len(multi) > len(single)  # table 2 recovered split-bucket pairs
