@@ -125,3 +125,57 @@ def test_dedup_families_never_plan_quadratic_joins(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_commit_group_scan_multiplicity_bounded(spark, pages_path):
+    """plans/pipeline.py documents a deliberate tradeoff: one commit
+    group's plan evaluates the (column-pruned) source up to 4× — the
+    admitted/rejected and big/small branches are filters of one scan.
+    Pin the bound so a refactor can't silently multiply scans."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+
+    pipe = ExtractionPipeline(
+        spark, PipelineConfig(num_partitions=8, n_commit_groups=4, use_slicing=True)
+    )
+    pages = spark.read.parquet(pages_path).withColumn(
+        "commit_group", pipe.group_col()
+    )
+    group = pages.filter(F.col("commit_group") == 0).drop("commit_group")
+    plan = _plan(pipe.extract(group))
+    n_scans = plan.count("Scan parquet")
+    assert 1 <= n_scans <= 4, f"commit-group plan has {n_scans} parquet scans"
+
+
+def test_commit_group_predicate_prunes_bucket_partitioned_layout(spark, pages_path, tmp_path):
+    """The documented mitigation: lay the pages table out partitioned by
+    the commit group and each group's predicate PRUNES partitions — every
+    parquet scan in the group's plan carries the PartitionFilters, so the
+    4× re-evaluation touches 1/n_commit_groups of the data, not 4× all
+    of it."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+
+    pipe = ExtractionPipeline(
+        spark, PipelineConfig(num_partitions=8, n_commit_groups=4, use_slicing=True)
+    )
+    layout = str(tmp_path / "bucketed_pages")
+    spark.read.parquet(pages_path).withColumn(
+        "commit_group", pipe.group_col()
+    ).write.partitionBy("commit_group").parquet(layout)
+
+    pages = spark.read.parquet(layout)
+    group = pages.filter(F.col("commit_group") == 0).drop("commit_group")
+    plan = _plan(pipe.extract(group))
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    scans_with_pruning = [p for p in pf if "commit_group" in p]
+    n_scans = plan.count("Scan parquet")
+    assert n_scans >= 1
+    assert len(scans_with_pruning) == n_scans, (
+        f"{n_scans} scans but only {len(scans_with_pruning)} carry the "
+        f"commit_group partition filter: {pf}"
+    )
