@@ -57,6 +57,42 @@ def _noop_write(df: DataFrame) -> int:
     return -1
 
 
+def _tree_cpu_seconds() -> float:
+    """CPU-seconds (utime+stime+reaped-children) of THIS process tree —
+    the bench driver, the Spark JVM, and every pyspark worker. Wall-clock
+    on this host drifts up to 3x on ~10-minute windows (BENCH.md), so the
+    per-query CPU delta is the noise-immune signal for cross-round
+    comparison: host contention stretches wall time but barely moves the
+    CPU a fixed plan burns."""
+    hz = os.sysconf("SC_CLK_TCK")
+    # build ppid map once per call (bench cadence: a few calls/second max)
+    ppid_of: dict[int, int] = {}
+    stats: dict[int, float] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        pid = int(pid_s)
+        ppid_of[pid] = int(rest[1])
+        # utime+stime+cutime+cstime: reaped python workers' CPU is
+        # credited to the daemon's children counters, so worker churn
+        # between stages doesn't lose time
+        stats[pid] = sum(int(rest[i]) for i in (11, 12, 13, 14)) / hz
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, ppid in ppid_of.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(stats[p] for p in mine)
+
+
 def main() -> None:
     from docling_jobkit_spark.session import get_spark
 
@@ -74,22 +110,29 @@ def main() -> None:
 
     from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
 
-    def best_of(n: int, fn) -> float:
-        """min over n runs — standard benching practice on a host whose
-        capacity drifts up to 3x (BENCH.md); the first run additionally
-        pays JIT/codegen for the query's expressions."""
-        best = float("inf")
+    cpu_timings: dict[str, float] = {}
+
+    def best_of(n: int, fn) -> tuple[float, float]:
+        """(min wall, min CPU) over n runs — min-wall is standard benching
+        practice on a host whose capacity drifts up to 3x (BENCH.md); the
+        first run additionally pays JIT/codegen for the query's
+        expressions. The CPU-seconds minimum is the noise-immune twin
+        (see _tree_cpu_seconds)."""
+        best = best_cpu = float("inf")
         for _ in range(n):
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-        return best
+            best_cpu = min(best_cpu, _tree_cpu_seconds() - c0)
+        return best, best_cpu
 
     pipe = ExtractionPipeline(
         spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=False)
     )
-    dt = best_of(REPEATS, lambda: _noop_write(pipe.extract(pages)))
+    dt, cpu = best_of(REPEATS, lambda: _noop_write(pipe.extract(pages)))
     timings["extract_pipeline"] = round(dt, 3)
+    cpu_timings["extract_pipeline"] = round(cpu, 2)
     extras["extract_docs_per_sec"] = round(n_docs / dt, 1)
     extras["extract_mb_per_sec"] = round(total_bytes / dt / 1e6, 1)
     extras["extract_n_docs"] = n_docs
@@ -100,7 +143,7 @@ def main() -> None:
         spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=True)
     )
     extras["extract_sliced_secs"] = round(
-        best_of(REPEATS, lambda: _noop_write(pipe_sliced.extract(pages))), 3
+        best_of(REPEATS, lambda: _noop_write(pipe_sliced.extract(pages)))[0], 3
     )
     pages.unpersist()
 
@@ -136,9 +179,9 @@ def main() -> None:
     ]
     for name in headline:
         q = queries[name]
-        timings[name] = round(
-            best_of(REPEATS, lambda: _noop_write(q(spark, SF_DIR))), 3
-        )
+        dt, cpu = best_of(REPEATS, lambda: _noop_write(q(spark, SF_DIR)))
+        timings[name] = round(dt, 3)
+        cpu_timings[name] = round(cpu, 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +191,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cpu_seconds": cpu_timings,
                 "timing": f"min_of_{REPEATS}_runs_per_query",
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
