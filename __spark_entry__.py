@@ -559,6 +559,77 @@ def _q_uri_parts(spark, sf_dir):
     return docs.select("doc_id", url.alias("url"), *uri_parts(url))
 
 
+def _synth_url() -> F.Column:
+    """Deterministic per-doc URL with scheme/domain/extension variety so
+    the URL-filter queries exercise every rejection branch: doc_id%7==0
+    gets an ftp scheme, doc_id%11==0 a blocklisted tracker domain, and
+    the extension cycles through html/pdf/txt/exe/jpg by doc_id%5."""
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in ("html", "pdf", "txt", "exe", "jpg")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    scheme = F.when(F.col("doc_id") % 7 == 0, F.lit("ftp")).otherwise(F.lit("https"))
+    host = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("ads."), F.col("source"), F.lit(".spamtracker.net")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    return F.concat(
+        scheme, F.lit("://"), host, F.lit("/docs/doc-"),
+        F.col("doc_id").cast("string"), F.lit("."), ext,
+        F.lit("?ref="), F.col("lang"),
+    )
+
+
+def _q_url_filter(spark, sf_dir):
+    """URL curation gate: scheme allowlist, domain blocklist (literal),
+    extension blocklist — pure codegen, zero shuffles."""
+    from docling_jobkit_spark.operators.webfilter import url_filter
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .withColumn("url", _synth_url())
+    )
+    return url_filter(
+        docs,
+        blocked_domains=("spamtracker.net",),
+        blocked_exts=("exe", "jpg"),
+    ).select("doc_id", "url", "scheme", "host", "ext", "url_ok", "url_reject_reason")
+
+
+def _q_url_filter_domains(spark, sf_dir):
+    """Blocklist-TABLE domain filter: distinct hosts -> suffix explode ->
+    broadcast semi-join -> broadcast flag-back (the UT1-scale shape)."""
+    from docling_jobkit_spark.operators.webfilter import url_filter_against
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .withColumn("url", _synth_url())
+    )
+    bl = spark.createDataFrame(
+        [("spamtracker.net",), ("src3.example.com",)], "domain string"
+    )
+    return url_filter_against(docs, bl).select("doc_id", "host", "domain_blocked")
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style duplicate/top n-gram fractions, long-form per (doc, n)."""
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+    from docling_jobkit_spark.operators.textstats import repetition_signals
+
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
+    return repetition_signals(docs, ngram_sizes=(2, 3))
+
+
+def _q_segment_dup(spark, sf_dir):
+    """Corpus-level duplicated-segment stats (paragraph-dedup analogue)."""
+    from docling_jobkit_spark.operators.dedup import segment_dup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dup_stats(docs, seg_words=3)
+
+
 def _q_token_window_chunks(spark, sf_dir):
     """Relational token-window chunker over raw documents.text (the
     SQL-checkable twin of the extraction-results chunker)."""
@@ -721,6 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_window_chunks": _q_token_window_chunks,
         "uri_parts": _q_uri_parts,
         "corpus_curation": _q_corpus_curation,
+        "url_filter": _q_url_filter,
+        "url_filter_domains": _q_url_filter_domains,
+        "repetition_signals": _q_repetition_signals,
+        "segment_dup": _q_segment_dup,
     }
 
 
@@ -755,6 +830,19 @@ _NTOK = (
     "case when trim(text) = '' then 0 "
     "else len(string_split_regex(trim(text),'\\s+')) end"
 )
+
+# DuckDB twin of _synth_url() — keep the two in lockstep
+_URL_SYNTH_SQL = """
+    select doc_id,
+           (case when doc_id % 7 = 0 then 'ftp' else 'https' end) || '://'
+           || (case when doc_id % 11 = 0
+                    then 'ads.' || source || '.spamtracker.net'
+                    else source || '.example.com' end)
+           || '/docs/doc-' || doc_id::varchar || '.'
+           || (['html','pdf','txt','exe','jpg'])[(doc_id % 5)::int + 1]
+           || '?ref=' || lang as url
+    from documents
+"""
 
 
 
@@ -1289,5 +1377,110 @@ def oracle_sql() -> dict[str, str]:
                    (('0x' || substr(sha256(text), 1, 4))::ubigint % 4096)::int as width,
                    (('0x' || substr(sha256(text), 5, 4))::ubigint % 4096)::int as height
             from documents
+        """,
+        "url_filter": f"""
+            with u as ({_URL_SYNTH_SQL}),
+            p as (
+              select doc_id, url,
+                     lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) as scheme,
+                     lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)) as host,
+                     lower(regexp_extract(
+                       regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1),
+                       '\\.([A-Za-z0-9]+)$', 1)) as ext
+              from u
+            ),
+            r as (
+              select *, case
+                when scheme not in ('http', 'https') then 'scheme'
+                when host = 'spamtracker.net' or host like '%.spamtracker.net'
+                  then 'blocked_domain'
+                when ext in ('exe', 'jpg') then 'blocked_extension'
+                else NULL end as url_reject_reason
+              from p
+            )
+            select doc_id, url, scheme, host, ext,
+                   (url_reject_reason is null) as url_ok, url_reject_reason
+            from r
+        """,
+        "url_filter_domains": f"""
+            with u as ({_URL_SYNTH_SQL}),
+            p as (
+              select doc_id,
+                     lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)) as host
+              from u
+            )
+            select doc_id, host,
+                   (host = 'spamtracker.net' or host like '%.spamtracker.net'
+                    or host = 'src3.example.com' or host like '%.src3.example.com')
+                     as domain_blocked
+            from p
+        """,
+        "repetition_signals": """
+            with t as (
+              select doc_id, string_split_regex(trim(lower(text)), '\\s+') as w
+              from documents
+            ),
+            g as (
+              select doc_id, 2 as gram_n,
+                     case when len(w) >= 2
+                          then list_transform(range(1, len(w)),
+                                              i -> array_to_string(w[i:i+1], ' '))
+                          else [NULL::varchar] end as grams
+              from t
+              union all
+              select doc_id, 3,
+                     case when len(w) >= 3
+                          then list_transform(range(1, len(w) - 1),
+                                              i -> array_to_string(w[i:i+2], ' '))
+                          else [NULL::varchar] end
+              from t
+            ),
+            u as (select doc_id, gram_n, unnest(grams) as gram from g),
+            c as (
+              select doc_id, gram_n, gram, count(*) as cnt
+              from u group by doc_id, gram_n, gram
+            ),
+            s as (
+              select doc_id, gram_n,
+                     sum(case when gram is not null then cnt else 0 end)::int as n_grams,
+                     count(gram)::int as n_distinct,
+                     max(case when gram is not null then cnt else 0 end)::int as top_count
+              from c group by doc_id, gram_n
+            )
+            select doc_id, gram_n, n_grams, n_distinct, top_count,
+                   case when n_grams > 0
+                        then round((n_grams - n_distinct) / n_grams, 6)
+                        else 0.0 end as dup_frac,
+                   case when n_grams > 0
+                        then round(top_count / n_grams, 6)
+                        else 0.0 end as top_frac
+            from s
+        """,
+        "segment_dup": """
+            with t as (
+              select doc_id, string_split_regex(trim(lower(text)), '\\s+') as w
+              from documents
+            ),
+            g as (
+              select doc_id,
+                     list_transform(range(0, (len(w) // 3)),
+                                    i -> array_to_string(w[i*3+1:i*3+3], ' ')) as segs
+              from t where len(w) >= 3
+            ),
+            u as (select doc_id, unnest(segs) as seg from g),
+            h as (
+              select doc_id,
+                     ('0x' || substr(sha256(seg), 1, 14))::ubigint::bigint as seg_hash
+              from u
+            ),
+            pd as (select seg_hash, doc_id, count(*) as cnt from h group by seg_hash, doc_id),
+            f as (select seg_hash, count(*) as n_docs from pd group by seg_hash),
+            j as (select pd.doc_id, pd.cnt, f.n_docs from pd join f using (seg_hash))
+            select doc_id as id,
+                   sum(cnt)::int as n_segs,
+                   sum(case when n_docs > 1 then cnt else 0 end)::int as n_dup_segs,
+                   round(sum(case when n_docs > 1 then cnt else 0 end) / sum(cnt), 6)
+                     as dup_seg_frac
+            from j group by doc_id
         """,
     }

@@ -521,3 +521,57 @@ def simhash_near_duplicates(
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         ham <= max_hamming
     )
+
+
+# --- Segment (paragraph-level) corpus dedup --------------------------------
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+) -> DataFrame:
+    """Corpus-level duplicated-segment statistics (CCNet/RefinedWeb-style
+    paragraph dedup, adapted to newline-free text): split each document
+    into consecutive NON-overlapping ``seg_words``-word segments, hash
+    each segment, and report per document how many of its segment
+    instances also occur in at least one OTHER document.
+
+    Output: one row per doc with >= seg_words tokens — (id, n_segs,
+    n_dup_segs, dup_seg_frac). A trailing remainder shorter than
+    ``seg_words`` is ignored (deterministic; both engines agree).
+
+    Plan shape (the 100 TB path): explode -> groupBy(seg_hash, id) with
+    map-side combine -> groupBy(seg_hash) for the distinct-doc count ->
+    one equi-join back on seg_hash -> groupBy(id). Every shuffle key is a
+    uniform 56-bit content hash or doc id — no skew; the join carries
+    only (hash, id, cnt) rows, never text. The segment hash is the
+    cross-engine ``stable_hash64`` so the DuckDB oracle reproduces it
+    bit-for-bit."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_full = F.floor(F.size(toks) / seg_words).cast("int")
+    segs = F.when(
+        F.size(toks) >= seg_words,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_words + 1, seg_words)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    seg_rows = (
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), F.explode(segs).alias("seg"))
+        .select("id", stable_hash64("seg").alias("seg_hash"))
+    )
+    per_doc_seg = seg_rows.groupBy("seg_hash", "id").agg(F.count("*").alias("cnt"))
+    freq = per_doc_seg.groupBy("seg_hash").agg(F.count("*").alias("n_docs_with_seg"))
+    joined = per_doc_seg.join(freq, on="seg_hash")
+    n_dup = F.sum(
+        F.when(F.col("n_docs_with_seg") > 1, F.col("cnt")).otherwise(0)
+    ).cast("int")
+    n_segs = F.sum("cnt").cast("int")
+    return joined.groupBy("id").agg(
+        n_segs.alias("n_segs"),
+        n_dup.alias("n_dup_segs"),
+        F.round(n_dup / n_segs, 6).alias("dup_seg_frac"),
+    )

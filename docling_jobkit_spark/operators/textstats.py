@@ -89,6 +89,81 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ngrams_tagged(toks: Column, n: int) -> Column:
+    """Word n-grams as (gram_n, gram) structs; a doc with < n tokens emits
+    ONE null-gram sentinel struct so every (doc, n) pair survives the
+    explode and aggregates to zero counts (same rows as the oracle's
+    ``case when len(grams)=0 then [NULL] end`` branch)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    structs = F.transform(
+        grams, lambda g: F.struct(F.lit(n).alias("gram_n"), g.alias("gram"))
+    )
+    sentinel = F.array(
+        F.struct(F.lit(n).alias("gram_n"), F.lit(None).cast("string").alias("gram"))
+    )
+    return F.when(F.size(toks) >= n, structs).otherwise(sentinel)
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style per-document repetition signals, long-form: one row
+    per (doc, gram_n) with total/distinct n-gram counts, the duplicate
+    n-gram fraction (1 - distinct/total), and the top-n-gram fraction
+    (most frequent n-gram's share) — the standard repeated-content
+    filters of web-corpus curation (Gopher §A.1.1 / RefinedWeb rules).
+
+    Plan shape: ALL n-gram families ride one scan (tagged structs,
+    flattened, one explode), then two map-side-combinable aggregations:
+    (doc, n, gram) -> count, then (doc, n) -> totals. No join back to the
+    base table — totals fall out of the counts. At 100 TB the first
+    shuffle carries one row per DISTINCT (doc, n, gram) after partial
+    aggregation, the second one row per (doc, n); keys are uniformly
+    spread (doc_id rides every key) so no skew.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    combined = F.flatten(F.array(*[_ngrams_tagged(toks, n) for n in ngram_sizes]))
+    exploded = df.select(F.col(id_col), F.explode(combined).alias("t")).select(
+        id_col, F.col("t.gram_n").alias("gram_n"), F.col("t.gram").alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "gram_n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    nn = F.col("n_grams")
+    sig = (
+        per_gram.groupBy(id_col, "gram_n")
+        .agg(
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("int")
+            .alias("n_grams"),
+            F.count(F.col("gram")).cast("int").alias("n_distinct"),
+            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("int")
+            .alias("top_count"),
+        )
+        .select(
+            id_col,
+            "gram_n",
+            "n_grams",
+            "n_distinct",
+            "top_count",
+            F.when(nn > 0, F.round((nn - F.col("n_distinct")) / nn, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            F.when(nn > 0, F.round(F.col("top_count") / nn, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_frac"),
+        )
+    )
+    return sig
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id(text_col))
 

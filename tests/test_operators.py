@@ -352,3 +352,119 @@ def test_multi_table_lsh_recovers_recall_without_quadratic_join(spark):
     multi = pairs(block_col=None, lsh_bits=8, dim=64, lsh_tables=2)
     assert single <= multi <= exact
     assert len(multi) > len(single)  # table 2 recovered split-bucket pairs
+
+
+# --- webfilter -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (0, "https://a.example.com/x/page.html?q=1"),
+        (1, "ftp://a.example.com/x/file.pdf"),
+        (2, "https://ads.bad.tracker.net/pix.gif"),
+        (3, "https://notexample.com/clean.html"),      # NOT a subdomain of example.com
+        (4, "https://deep.sub.bad.tracker.net/a.html"),
+        (5, "https://ok.org/archive.exe"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_filter_reasons_and_precedence(spark, urls):
+    from docling_jobkit_spark.operators.webfilter import url_filter
+
+    out = {
+        r["doc_id"]: r
+        for r in url_filter(
+            urls, blocked_domains=("tracker.net",), blocked_exts=("exe", "gif")
+        ).collect()
+    }
+    assert out[0]["url_ok"] and out[0]["url_reject_reason"] is None
+    assert out[1]["url_reject_reason"] == "scheme"  # scheme beats extension
+    # domain beats extension (gif would also match)
+    assert out[2]["url_reject_reason"] == "blocked_domain"
+    assert out[3]["url_ok"]  # suffix match is label-aligned, not substring
+    assert out[4]["url_reject_reason"] == "blocked_domain"  # deep subdomain
+    assert out[5]["url_reject_reason"] == "blocked_extension"
+    assert out[0]["host"] == "a.example.com" and out[0]["ext"] == "html"
+
+
+def test_url_filter_against_matches_literal_semantics(spark, urls):
+    from docling_jobkit_spark.operators.webfilter import url_filter, url_filter_against
+
+    bl = spark.createDataFrame([("tracker.net",), ("ok.org",)], "domain string")
+    joined = {
+        r["doc_id"]: r["domain_blocked"]
+        for r in url_filter_against(urls, bl).collect()
+    }
+    literal = {
+        r["doc_id"]: r["url_reject_reason"] == "blocked_domain"
+        for r in url_filter(
+            urls,
+            blocked_domains=("tracker.net", "ok.org"),
+            allowed_schemes=("http", "https", "ftp"),
+        ).collect()
+    }
+    assert joined == literal
+    assert joined[2] and joined[4] and joined[5]
+    assert not joined[0] and not joined[3]
+
+
+def test_url_filter_against_plan_broadcasts(spark, urls):
+    """The corpus side must never sort-merge: blocklist and flag-back
+    joins are both broadcast-hash."""
+    from docling_jobkit_spark.operators.webfilter import url_filter_against
+
+    bl = spark.createDataFrame([("tracker.net",)], "domain string")
+    plan = url_filter_against(urls, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- repetition signals ----------------------------------------------------
+
+
+def test_repetition_signals_counts(spark):
+    from docling_jobkit_spark.operators.textstats import repetition_signals
+
+    rows = [
+        (0, "a b a b a b"),       # 2-grams: [a b, b a, a b, b a, a b] tot=5 dist=2 top=3
+        (1, "one"),               # < 2 tokens: zero rows for both n
+        (2, "x y z"),             # exactly one 3-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["gram_n"]): r
+        for r in repetition_signals(df, ngram_sizes=(2, 3)).collect()
+    }
+    assert len(out) == 6  # every (doc, n) pair present, even empty ones
+    r02 = out[(0, 2)]
+    assert (r02["n_grams"], r02["n_distinct"], r02["top_count"]) == (5, 2, 3)
+    assert r02["dup_frac"] == 0.6 and r02["top_frac"] == 0.6
+    r12 = out[(1, 2)]
+    assert (r12["n_grams"], r12["n_distinct"], r12["top_count"]) == (0, 0, 0)
+    assert r12["dup_frac"] == 0.0 and r12["top_frac"] == 0.0
+    r23 = out[(2, 3)]
+    assert (r23["n_grams"], r23["n_distinct"], r23["top_count"]) == (1, 1, 1)
+
+
+# --- segment dedup ---------------------------------------------------------
+
+
+def test_segment_dup_stats(spark):
+    from docling_jobkit_spark.operators.dedup import segment_dup_stats
+
+    rows = [
+        (0, "a b c d e f g h"),   # segs: [a b c, d e f]; trailing "g h" ignored
+        (1, "a b c x y z"),       # shares "a b c" with doc 0
+        (2, "p q r p q r"),       # within-doc repeat but NOT cross-doc
+        (3, "x"),                 # < 3 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in segment_dup_stats(df, seg_words=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_segs"], out[0]["n_dup_segs"]) == (2, 1)
+    assert out[0]["dup_seg_frac"] == 0.5
+    assert (out[1]["n_segs"], out[1]["n_dup_segs"]) == (2, 1)
+    # within-doc repetition is not corpus duplication
+    assert (out[2]["n_segs"], out[2]["n_dup_segs"]) == (2, 0)
