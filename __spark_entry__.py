@@ -630,6 +630,51 @@ def _q_segment_dup(spark, sf_dir):
     return segment_dup_stats(docs, seg_words=3)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a 5-gram with the
+    benchmark slice (doc_id % 97 == 0 stands in for an eval set) are
+    flagged. Broadcast regime: the corpus text never shuffles."""
+    from docling_jobkit_spark.operators.decontam import contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination(docs, bench, k=5)
+
+
+def _q_pii(spark, sf_dir):
+    """PII detect + redact over text with deterministically injected
+    emails/IPs/phones (the raw corpus is PII-free by construction)."""
+    from docling_jobkit_spark.operators.pii import pii_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" contact-"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(" call +555-123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = docs.select("doc_id", injected.alias("text"))
+    return pii_signals(base).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "has_pii", "redacted_text"
+    )
+
+
 def _q_token_window_chunks(spark, sf_dir):
     """Relational token-window chunker over raw documents.text (the
     SQL-checkable twin of the extraction-results chunker)."""
@@ -796,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter_domains": _q_url_filter_domains,
         "repetition_signals": _q_repetition_signals,
         "segment_dup": _q_segment_dup,
+        "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii,
     }
 
 
@@ -829,6 +876,12 @@ _LANG_ID_EXPR = (
 _NTOK = (
     "case when trim(text) = '' then 0 "
     "else len(string_split_regex(trim(text),'\\s+')) end"
+)
+
+from docling_jobkit_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
 )
 
 # DuckDB twin of _synth_url() — keep the two in lockstep
@@ -1482,5 +1535,64 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(case when n_docs > 1 then cnt else 0 end) / sum(cnt), 6)
                      as dup_seg_frac
             from j group by doc_id
+        """,
+        "decontaminate": """
+            with t as (
+              select doc_id, string_split_regex(trim(lower(text)), '\\s+') as w
+              from documents
+            ),
+            g as (
+              select doc_id,
+                     case when len(w) >= 5
+                          then list_distinct(list_transform(range(1, len(w) - 3),
+                            i -> ('0x' || substr(sha256(array_to_string(w[i:i+4], ' ')), 1, 14))::ubigint::bigint))
+                          else [] end as grams
+              from t
+            ),
+            bg as (
+              select distinct unnest(grams) as bench_gram
+              from g where doc_id % 97 = 0
+            ),
+            u as (
+              select doc_id,
+                     unnest(case when len(grams) = 0 then [NULL::bigint] else grams end) as gram
+              from g
+            ),
+            m as (
+              select u.doc_id, u.gram, bg.bench_gram
+              from u left join bg on u.gram = bg.bench_gram
+            )
+            select doc_id,
+                   count(gram)::int as n_grams,
+                   count(bench_gram)::int as n_matched,
+                   (count(bench_gram) > 0) as contaminated
+            from m group by doc_id
+        """,
+        "pii_redact": f"""
+            with x as (
+              select doc_id, text
+                || case when doc_id % 13 = 0
+                        then ' contact-' || doc_id::varchar || '@mail.example.org'
+                        else '' end
+                || case when doc_id % 17 = 0
+                        then ' from 10.0.' || (doc_id % 256)::varchar || '.7'
+                        else '' end
+                || case when doc_id % 19 = 0 then ' call +555-123-4567' else '' end
+                as text
+              from documents
+            )
+            select doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}'))::int as n_emails,
+                   len(regexp_extract_all(text, '{_PII_IPV4}'))::int as n_ipv4,
+                   len(regexp_extract_all(text, '{_PII_PHONE}'))::int as n_phones,
+                   ((len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                     + len(regexp_extract_all(text, '{_PII_IPV4}'))
+                     + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0) as has_pii,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{_PII_IPV4}', '[IP]', 'g'),
+                     '{_PII_PHONE}', '[PHONE]', 'g') as redacted_text
+            from x
         """,
     }

@@ -468,3 +468,68 @@ def test_segment_dup_stats(spark):
     assert (out[1]["n_segs"], out[1]["n_dup_segs"]) == (2, 1)
     # within-doc repetition is not corpus duplication
     assert (out[2]["n_segs"], out[2]["n_dup_segs"]) == (2, 0)
+
+
+# --- decontamination -------------------------------------------------------
+
+
+def test_contamination_flags_exact_and_overlapping_docs(spark):
+    from docling_jobkit_spark.operators.decontam import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-gram
+            (1, "alpha beta gamma delta epsilon"),        # the bench text itself
+            (2, "one two three four five six seven"),     # clean
+            (3, "tiny doc"),                              # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination(corpus, bench, k=5).collect()}
+    assert out[0]["contaminated"] and out[0]["n_matched"] == 1
+    assert out[1]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_grams"] == 3
+    assert not out[3]["contaminated"] and out[3]["n_grams"] == 0
+    assert set(out) == {0, 1, 2, 3}  # every doc reported, even sub-k
+
+
+def test_contamination_broadcast_plan(spark):
+    """Broadcast regime must not shuffle the corpus for the join."""
+    from docling_jobkit_spark.operators.decontam import contamination
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        contamination(corpus, bench, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- PII -------------------------------------------------------------------
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    from docling_jobkit_spark.operators.pii import pii_signals
+
+    rows = [
+        (0, "write to jo.doe+spam@corp.example.net today"),
+        (1, "server at 192.168.0.17 answered"),
+        (2, "call 555-123-4567 or +321-555-0100 now"),
+        (3, "clean text with no personal data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["has_pii"]
+    assert out[0]["redacted_text"] == "write to [EMAIL] today"
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["redacted_text"] == "server at [IP] answered"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted_text"] == "call [PHONE] or [PHONE] now"
+    assert not out[3]["has_pii"] and out[3]["redacted_text"] == rows[3][1]
