@@ -57,13 +57,18 @@ def _noop_write(df: DataFrame) -> int:
     return -1
 
 
-def _tree_cpu_seconds() -> float:
-    """CPU-seconds (utime+stime+reaped-children) of THIS process tree —
-    the bench driver, the Spark JVM, and every pyspark worker. Wall-clock
-    on this host drifts up to 3x on ~10-minute windows (BENCH.md), so the
-    per-query CPU delta is the noise-immune signal for cross-round
-    comparison: host contention stretches wall time but barely moves the
-    CPU a fixed plan burns."""
+def _tree_cpu_stats() -> dict[int, float]:
+    """Per-pid CPU-seconds (utime+stime+reaped-children) of THIS process
+    tree — the bench driver, the Spark JVM, and every pyspark worker.
+    Wall-clock on this host drifts up to 3x on ~10-minute windows
+    (BENCH.md), so the per-query CPU delta is the noise-immune signal
+    for cross-round comparison: host contention stretches wall time but
+    barely moves the CPU a fixed plan burns.
+
+    Returned per-pid (not pre-summed) so callers can delta pairwise:
+    summing first made the delta NEGATIVE whenever a worker with
+    accumulated CPU died orphaned between samples (its time leaves the
+    tree without being reaped into a surviving parent's cutime)."""
     hz = os.sysconf("SC_CLK_TCK")
     # build ppid map once per call (bench cadence: a few calls/second max)
     ppid_of: dict[int, int] = {}
@@ -90,7 +95,17 @@ def _tree_cpu_seconds() -> float:
             if ppid in mine and pid not in mine:
                 mine.add(pid)
                 grew = True
-    return sum(stats[p] for p in mine)
+    return {p: stats[p] for p in mine}
+
+
+def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
+    """Pairwise monotonic delta: pids present after contribute their own
+    growth (new pids count in full — they started at ~0 inside the
+    window); pids that vanished contribute 0 directly, their CPU having
+    been folded into a surviving parent's children-counters if the tree
+    reaped them (a genuinely orphaned worker undercounts instead of
+    driving the delta negative)."""
+    return sum(cpu - before.get(pid, 0.0) for pid, cpu in after.items())
 
 
 def main() -> None:
@@ -117,14 +132,14 @@ def main() -> None:
         practice on a host whose capacity drifts up to 3x (BENCH.md); the
         first run additionally pays JIT/codegen for the query's
         expressions. The CPU-seconds minimum is the noise-immune twin
-        (see _tree_cpu_seconds)."""
+        (see _tree_cpu_stats + _cpu_delta)."""
         best = best_cpu = float("inf")
         for _ in range(n):
-            c0 = _tree_cpu_seconds()
+            c0 = _tree_cpu_stats()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-            best_cpu = min(best_cpu, _tree_cpu_seconds() - c0)
+            best_cpu = min(best_cpu, _cpu_delta(c0, _tree_cpu_stats()))
         return best, best_cpu
 
     pipe = ExtractionPipeline(
@@ -176,6 +191,12 @@ def main() -> None:
         "uri_parts",
         "multimodal_meta",
         "chunker_token_windows",
+        "url_filter",
+        "url_filter_domains",
+        "repetition_signals",
+        "segment_dup",
+        "decontaminate",
+        "pii_redact",
     ]
     for name in headline:
         q = queries[name]
