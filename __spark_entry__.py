@@ -675,6 +675,16 @@ def _q_pii(spark, sf_dir):
     )
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rules quality gate: length + 2-gram repetition +
+    token shape + language, one pass/fail with reason precedence."""
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+    from docling_jobkit_spark.operators.textstats import gopher_filter
+
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
+    return gopher_filter(docs)
+
+
 def _q_token_window_chunks(spark, sf_dir):
     """Relational token-window chunker over raw documents.text (the
     SQL-checkable twin of the extraction-results chunker)."""
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dup": _q_segment_dup,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -1567,6 +1578,60 @@ def oracle_sql() -> dict[str, str]:
                    count(bench_gram)::int as n_matched,
                    (count(bench_gram) > 0) as contaminated
             from m group by doc_id
+        """,
+        "gopher_filter": f"""
+            with t as (
+              select doc_id, string_split_regex(trim(lower(text)), '\\s+') as w
+              from documents
+            ),
+            g as (
+              select doc_id,
+                     case when len(w) >= 2
+                          then list_transform(range(1, len(w)),
+                                              i -> array_to_string(w[i:i+1], ' '))
+                          else [NULL::varchar] end as grams
+              from t
+            ),
+            u as (select doc_id, unnest(grams) as gram from g),
+            c as (select doc_id, gram, count(*) as cnt from u group by doc_id, gram),
+            s as (
+              select doc_id,
+                     sum(case when gram is not null then cnt else 0 end)::int as n_grams,
+                     count(gram)::int as n_distinct,
+                     max(case when gram is not null then cnt else 0 end)::int as top_count
+              from c group by doc_id
+            ),
+            r as (
+              select doc_id,
+                     case when n_grams > 0
+                          then round((n_grams - n_distinct) / n_grams, 6)
+                          else 0.0 end as dup_frac,
+                     case when n_grams > 0
+                          then round(top_count / n_grams, 6) else 0.0 end as top_frac
+              from s
+            ),
+            b as (
+              select doc_id, ({_NTOK})::int as n_tokens,
+                     round(length(text) / greatest(({_NTOK}), 1), 6) as avg_token_len,
+                     {_LANG_ID_EXPR} as lang_pred
+              from documents
+            ),
+            j as (select b.*, r.dup_frac, r.top_frac from b join r using (doc_id)),
+            f as (
+              select *, case
+                when n_tokens < 20 then 'too_short'
+                when n_tokens > 100000 then 'too_long'
+                when dup_frac > 0.06 then 'repetitive_2gram'
+                when top_frac > 0.08 then 'dominant_2gram'
+                when avg_token_len < 3.0 or avg_token_len > 8.0 then 'token_length'
+                when lang_pred = 'und' then 'lang_unknown'
+                else NULL end as quality_reject_reason
+              from j
+            )
+            select doc_id, n_tokens, avg_token_len, dup_frac, top_frac, lang_pred,
+                   quality_reject_reason,
+                   (quality_reject_reason is null) as quality_ok
+            from f
         """,
         "pii_redact": f"""
             with x as (

@@ -197,6 +197,7 @@ def main() -> None:
         "segment_dup",
         "decontaminate",
         "pii_redact",
+        "gopher_filter",
     ]
     for name in headline:
         q = queries[name]

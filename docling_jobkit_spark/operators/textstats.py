@@ -164,6 +164,69 @@ def repetition_signals(
     return sig
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_dup_2gram: float = 0.06,
+    max_top_2gram: float = 0.08,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 8.0,
+) -> DataFrame:
+    """Gopher-style document quality gate: compose length, repetition,
+    token-shape, and language signals into one pass/fail with a fixed
+    reason precedence (the Gopher §A.1.1 / RefinedWeb rule family; the
+    numeric defaults are tuned to THIS corpus's distributions, production
+    corpora retune them).
+
+    Never drops rows — stamps ``quality_ok`` + ``quality_reject_reason``
+    (first failing rule wins: too_short > too_long > repetitive_2gram >
+    dominant_2gram > token_length > lang_unknown).
+
+    Plan shape: the scalar signals are one codegen projection over the
+    scan; the 2-gram repetition stats are the aggregated path
+    (repetition_signals), joined back on the unique doc id. Both sides
+    prune to (id, text), the join is on a uniform key — at 100 TB this
+    is one aggregation pipeline plus one co-partitioned join, no skew."""
+    t = F.col(text_col)
+    rep = repetition_signals(df, text_col, id_col, ngram_sizes=(2,)).select(
+        id_col, "dup_frac", "top_frac"
+    )
+    n_tok = token_count(t)
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
+        lang_id(text_col).alias("lang_pred"),
+    )
+    j = base.join(rep, on=id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("dup_frac") > max_dup_2gram, F.lit("repetitive_2gram"))
+        .when(F.col("top_frac") > max_top_2gram, F.lit("dominant_2gram"))
+        .when(
+            (F.col("avg_token_len") < min_avg_token_len)
+            | (F.col("avg_token_len") > max_avg_token_len),
+            F.lit("token_length"),
+        )
+        .when(F.col("lang_pred") == "und", F.lit("lang_unknown"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        "avg_token_len",
+        "dup_frac",
+        "top_frac",
+        "lang_pred",
+        reason.alias("quality_reject_reason"),
+        reason.isNull().alias("quality_ok"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id(text_col))
 

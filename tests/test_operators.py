@@ -533,3 +533,25 @@ def test_pii_signals_counts_and_redaction(spark):
     assert out[2]["n_phones"] == 2
     assert out[2]["redacted_text"] == "call [PHONE] or [PHONE] now"
     assert not out[3]["has_pii"] and out[3]["redacted_text"] == rows[3][1]
+
+
+def test_gopher_filter_reason_precedence(spark):
+    from docling_jobkit_spark.operators.textstats import gopher_filter
+
+    long_clean = " ".join(
+        f"the w{i} and x{i} of y{i}" for i in range(8)
+    )  # 40 tokens, en stopwords, no repeated 2-grams
+    repetitive = " ".join(["spam ham"] * 20)  # 40 tokens, dup 2-grams
+    rows = [
+        (0, long_clean),
+        (1, "short text"),                     # too_short
+        (2, repetitive),                       # repetitive_2gram
+        (3, " ".join(f"z{i}" for i in range(30))),  # no stopwords → lang_unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out[0]["quality_ok"] and out[0]["quality_reject_reason"] is None
+    assert out[1]["quality_reject_reason"] == "too_short"
+    # repetition fires BEFORE lang (precedence), even though doc 2 is also 'und'
+    assert out[2]["quality_reject_reason"] == "repetitive_2gram"
+    assert out[3]["quality_reject_reason"] == "lang_unknown"
