@@ -156,3 +156,45 @@ def start_file_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_exts: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming curation stamp: the STATELESS signal family (URL gate,
+    PII counts + redaction, scalar quality features, language ID)
+    applied to pages as they arrive — pure projections are
+    streaming-transparent, so this is byte-identical to running the same
+    operators in batch over the same files (test-pinned).
+
+    The aggregation-shaped signals (repetition_signals, segment_dup,
+    gopher_filter's 2-gram stats) are deliberately NOT here: they
+    aggregate over an unbounded per-doc key and belong to the batch pass
+    over committed output — the same arrival-vs-corpus split as
+    stream_dedup_exact vs the batch dedup families."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet").load(input_dir)
+    )
+    return _curate_stamp(pages, blocked_domains, blocked_exts)
+
+
+def _curate_stamp(
+    pages: DataFrame,
+    blocked_domains: tuple[str, ...],
+    blocked_exts: tuple[str, ...],
+) -> DataFrame:
+    """The shared batch/stream projection (one definition so the
+    streaming==batch equivalence holds by construction)."""
+    from docling_jobkit_spark.operators.pii import pii_signals
+    from docling_jobkit_spark.operators.textstats import lang_id, quality_features
+    from docling_jobkit_spark.operators.webfilter import url_filter
+
+    out = url_filter(
+        pages, blocked_domains=blocked_domains, blocked_exts=blocked_exts
+    )
+    out = pii_signals(out)
+    out = quality_features(out).withColumn("lang_pred", lang_id("text"))
+    return out

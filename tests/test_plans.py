@@ -179,3 +179,40 @@ def test_commit_group_predicate_prunes_bucket_partitioned_layout(spark, pages_pa
         f"{n_scans} scans but only {len(scans_with_pruning)} carry the "
         f"commit_group partition filter: {pf}"
     )
+
+
+def test_repetition_signals_single_scan_no_join(spark, sf_dir):
+    """All n-gram families must ride ONE scan of documents (tagged-struct
+    flatten), and the totals must come from aggregation, not a join back
+    to the base table."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["repetition_signals"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # two-level agg: partial/final pairs for (doc,n,gram) then (doc,n)
+    assert "partial" in plan.lower()
+
+
+def test_segment_dup_joins_on_hash_only(spark, sf_dir):
+    """The corpus-frequency join must carry the 56-bit seg hash, never
+    text; no broadcast-nested-loop / cartesian anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["segment_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "seg_hash" in ln]
+    assert joins, "frequency join must key on seg_hash"
+    assert not any("text" in ln for ln in joins)
+
+
+def test_curation_filters_are_scan_fused(spark, sf_dir):
+    """url_filter and pii_redact must stay pure projections: one scan,
+    zero exchanges (the whole decision fuses into the scan stage)."""
+    import __spark_entry__ as e
+
+    for q in ("url_filter", "pii_redact"):
+        plan = _plan(e.queries()[q](spark, sf_dir))
+        assert "Exchange" not in plan, q
+        assert plan.count("Scan parquet") == 1, q

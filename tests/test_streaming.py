@@ -164,3 +164,60 @@ def test_stream_dedup_exact_within_watermark(spark, tmp_path):
     got = spark.sql("select content_hash from dd_t").collect()
     assert len(got) == 10  # one survivor per normalized content
     assert len({r["content_hash"] for r in got}) == 10
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """The stateless curation stamp must be byte-identical between the
+    streaming and batch paths over the same files."""
+    from docling_jobkit_spark.streaming.pipeline import (
+        _curate_stamp,
+        start_file_stream,
+        stream_curate,
+    )
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    rows = [
+        ("https://a.example.com/x.html", "reach me at jo@corp.example.net please"),
+        ("ftp://bad.tracker.net/y.exe", "the and of to in plain english text here"),
+        (None, "der die und das ist text"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([ts] * 3, pa.timestamp("us", tz="UTC")),
+                "html": [b"<p>x</p>"] * 3,
+                "text": [r[1] for r in rows],
+                "lang": ["en", "en", "de"],
+            }
+        ),
+        str(src / "part-0.parquet"),
+    )
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_file_stream(
+        stream_curate(spark, str(src), blocked_domains=("tracker.net",)),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir)
+    batch = _curate_stamp(
+        spark.read.parquet(str(src)), ("tracker.net",), ()
+    )
+    cols = sorted(streamed.columns)
+    assert cols == sorted(batch.columns)
+    key = lambda r: (r["url"] or "", r["text"])
+    s_rows = sorted([r.asDict() for r in streamed.select(cols).collect()], key=key)
+    b_rows = sorted([r.asDict() for r in batch.select(cols).collect()], key=key)
+    assert s_rows == b_rows
+    by_url = {r["url"]: r for r in s_rows}
+    assert by_url["ftp://bad.tracker.net/y.exe"]["url_reject_reason"] == "scheme"
+    assert by_url["https://a.example.com/x.html"]["n_emails"] == 1
