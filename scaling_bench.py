@@ -97,14 +97,25 @@ out = pipe.extract(pages)
 
 # one untimed pass (JIT + worker warm), then the timed trial
 out.write.format("noop").mode("overwrite").save()
+from bench import _tree_cpu_stats, _cpu_delta  # noqa: E402 (cwd=/root/repo)
+c0 = _tree_cpu_stats()
 t0 = time.perf_counter()
 out.write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
+cpu = _cpu_delta(c0, _tree_cpu_stats())
 
 print("RESULT " + json.dumps({
     "cores": cores, "n_docs": n_docs, "seconds": round(dt, 2),
     "docs_per_sec": round(n_docs / dt, 1),
     "mb_per_sec": round(total_bytes / dt / 1e6, 1),
+    # noise-immune twins: CPU the whole tree burned during the timed
+    # pass, per-doc CPU (flat N->4N == no per-parallelism overhead in
+    # the pipeline), and achieved utilization (cpu / (wall * cores) —
+    # <1 under host throttling OR pipeline stragglers; the raw control
+    # separates the two)
+    "cpu_seconds": round(cpu, 1),
+    "cpu_ms_per_doc": round(1000.0 * cpu / n_docs, 3),
+    "utilization": round(cpu / (dt * cores), 3),
 }))
 spark.stop()
 """
@@ -224,7 +235,9 @@ def main() -> None:
         rounds.append(
             {"round": r, "lo": lo["docs_per_sec"], "hi": hi["docs_per_sec"],
              "eff": round(hi["docs_per_sec"] / lo["docs_per_sec"] / (hi_c / lo_c), 3),
-             "host_control_eff": ctrl}
+             "host_control_eff": ctrl,
+             "cpu_ms_per_doc": [lo.get("cpu_ms_per_doc"), hi.get("cpu_ms_per_doc")],
+             "utilization": [lo.get("utilization"), hi.get("utilization")]}
         )
         print(json.dumps(rounds[-1]))
 
