@@ -1449,12 +1449,15 @@ def oracle_sql() -> dict[str, str]:
                      lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) as scheme,
                      lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)) as host,
                      lower(regexp_extract(
-                       regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1),
+                       regexp_extract(
+                         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '([^/]+)$', 1),
                        '\\.([A-Za-z0-9]+)$', 1)) as ext
               from u
             ),
             r as (
               select *, case
+                when url is null or scheme = '' then 'unparseable'
                 when scheme not in ('http', 'https') then 'scheme'
                 when host = 'spamtracker.net' or host like '%.spamtracker.net'
                   then 'blocked_domain'
@@ -1656,8 +1659,8 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-                       '{_PII_IPV4}', '[IP]', 'g'),
-                     '{_PII_PHONE}', '[PHONE]', 'g') as redacted_text
+                       '{_PII_PHONE}', '[PHONE]', 'g'),
+                     '{_PII_IPV4}', '[IP]', 'g') as redacted_text
             from x
         """,
     }

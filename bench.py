@@ -99,13 +99,17 @@ def _tree_cpu_stats() -> dict[int, float]:
 
 
 def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
-    """Pairwise monotonic delta: pids present after contribute their own
-    growth (new pids count in full — they started at ~0 inside the
-    window); pids that vanished contribute 0 directly, their CPU having
-    been folded into a surviving parent's children-counters if the tree
-    reaped them (a genuinely orphaned worker undercounts instead of
-    driving the delta negative)."""
-    return sum(cpu - before.get(pid, 0.0) for pid, cpu in after.items())
+    """Whole-tree delta, floored at zero. The plain sum difference is
+    EXACT whenever deaths are reaped inside the tree: a worker's direct
+    counters vanish but reappear in its parent's children-counters, so
+    the totals cancel. (A pairwise per-pid variant was tried and
+    rejected: dropping a dead pid's before-entry while its parent's
+    cutime jumps by the worker's full lifetime re-credits pre-window CPU
+    — systematic overcount.) The one loss mode is a worker orphaned to
+    init mid-window, whose accumulated CPU leaves the tree entirely and
+    can pull the raw difference negative — clamp to 0 (undercount one
+    sample) rather than report negative CPU."""
+    return max(0.0, sum(after.values()) - sum(before.values()))
 
 
 def main() -> None:

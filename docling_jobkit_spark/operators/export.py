@@ -104,7 +104,7 @@ def doctags_col() -> Column:
         # discipline): anything unexpected renders as a neutral "block"
         # tag instead of interpolating free text into tag position
         tag = F.lit("block")
-        for kind in (*_HTML_TAG, "para"):
+        for kind in _HTML_TAG:
             tag = F.when(s.kind == kind, s.kind).otherwise(tag)
         return F.concat(
             F.lit("<"), tag,

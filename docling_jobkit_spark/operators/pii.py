@@ -34,20 +34,23 @@ def _count(c: Column, pattern: str) -> Column:
 def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stamp per-doc PII match counts and the redacted text.
 
-    Adds ``n_emails``/``n_ipv4``/``n_phones``, ``has_pii``, and
-    ``redacted_text`` (matches replaced by typed mask tokens, applied
-    email -> ip -> phone so an email's host part can't be re-matched as
-    a phone/ip fragment)."""
+    Adds ``n_emails``/``n_ipv4``/``n_phones`` (pattern occurrences in
+    the RAW text — the corpus-level PII-rate signals), ``has_pii``, and
+    ``redacted_text``. Redaction order is email -> phone -> ip: phone
+    runs BEFORE ip because a dot-delimited phone (555.123.4567) contains
+    an IPv4-shaped prefix — ip-first would mask '555.123.456' and leak
+    the trailing digit. The reverse overlap cannot happen: a valid IPv4
+    never has the 4-digit final group PHONE_RE requires."""
     t = F.col(text_col)
     n_emails = _count(t, EMAIL_RE)
     n_ipv4 = _count(t, IPV4_RE)
     n_phones = _count(t, PHONE_RE)
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN), IPV4_RE, IP_TOKEN
+            F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN), PHONE_RE, PHONE_TOKEN
         ),
-        PHONE_RE,
-        PHONE_TOKEN,
+        IPV4_RE,
+        IP_TOKEN,
     )
     return df.select(
         "*",

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deterministic precedence of rejection reasons (first match wins)
+REASON_INVALID = "unparseable"
 REASON_SCHEME = "scheme"
 REASON_DOMAIN = "blocked_domain"
 REASON_EXT = "blocked_extension"
@@ -36,10 +37,15 @@ REASON_EXT = "blocked_extension"
 
 def url_columns(url_col) -> dict[str, Column]:
     """scheme/host/ext projections shared by both filter shapes (same
-    class-portable regexes as ``functions.scalar.uri_parts``)."""
+    class-portable regexes as ``functions.scalar.uri_parts``).
+
+    The extension is taken from the PATH component only — deriving it
+    from the whole URL would misread a hostname's TLD as a file
+    extension for path-less URLs (``https://example.zip`` is not a zip
+    download)."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    no_query = F.regexp_replace(c, r"[?#].*$", "")
-    filename = F.regexp_extract(no_query, r"([^/]+)$", 1)
+    upath = F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    filename = F.regexp_extract(upath, r"([^/]+)$", 1)
     return {
         "scheme": F.lower(F.regexp_extract(c, r"^([a-z][a-z0-9+.-]*)://", 1)),
         "host": F.lower(F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)),
@@ -73,11 +79,17 @@ def url_filter(
     whole decision is one codegen projection, zero shuffles."""
     cols = url_columns(url_col)
     scheme, host, ext = cols["scheme"], cols["host"], cols["ext"]
+    url_c = F.col(url_col) if isinstance(url_col, str) else url_col
+    # NULL / scheme-less URLs must be REJECTED, not silently passed: a
+    # NULL url makes every predicate below NULL, and a when-chain whose
+    # branches are all NULL falls through to the ok branch.
+    unparseable = url_c.isNull() | (scheme == "")
     bad_scheme = ~scheme.isin(*allowed_schemes)
     bad_domain = _domain_blocked(host, tuple(d.lower() for d in blocked_domains))
     bad_ext = ext.isin(*[e.lower() for e in blocked_exts]) if blocked_exts else F.lit(False)
     reason = (
-        F.when(bad_scheme, F.lit(REASON_SCHEME))
+        F.when(unparseable, F.lit(REASON_INVALID))
+        .when(bad_scheme, F.lit(REASON_SCHEME))
         .when(bad_domain, F.lit(REASON_DOMAIN))
         .when(bad_ext, F.lit(REASON_EXT))
         .otherwise(F.lit(None).cast("string"))

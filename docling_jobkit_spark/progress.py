@@ -60,12 +60,19 @@ def run_with_progress(
     tracker = sc.statusTracker()
     stop = threading.Event()
     t0 = time.perf_counter()
+    # Without a job group the tracker can only enumerate ACTIVE jobs, so
+    # remember every job id ever seen: otherwise counters drop as jobs
+    # finish (non-monotonic mid-run) and the final done=True event —
+    # taken after the action returned, when nothing is active — would
+    # report all zeros instead of end-state counts.
+    seen_jobs: set[int] = set()
 
     def snapshot(done: bool) -> ProgressEvent:
         if group_id is not None:
             job_ids = tracker.getJobIdsForGroup(group_id)
         else:
-            job_ids = tracker.getActiveJobsIds()
+            seen_jobs.update(tracker.getActiveJobsIds())
+            job_ids = sorted(seen_jobs)
         num = comp = act = fail = 0
         stages: set[int] = set()
         for jid in job_ids:

@@ -77,8 +77,20 @@ def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
     payload = json.dumps(manifest, indent=1).encode()
     # single conditional object PUT — first terminal state wins, and the
-    # primitive exists on object stores (no rename; see checkpoint.py)
+    # primitive exists on object stores (no rename; see checkpoint.py).
+    # Concurrent committers derive IDENTICAL file lists from the same
+    # directory, so losing the race and returning the winner's manifest
+    # is correct — but a manifest whose file list no longer matches the
+    # directory is STALE (the data was re-written with mode=overwrite
+    # after it was sealed) and must be replaced, not returned: keeping
+    # it would describe deleted files with the old run's row counts.
     if not _put_if_absent(manifest_path, payload):
         with open(manifest_path) as f:
-            return json.load(f)
+            existing = json.load(f)
+        if [f_["file"] for f_ in existing["files"]] == [
+            f_["file"] for f_ in manifest["files"]
+        ]:
+            return existing
+        with open(manifest_path, "wb") as f:
+            f.write(payload)
     return manifest

@@ -113,9 +113,14 @@ def stream_dedup_exact(
     )
     # NULL-text rows must NOT dedupe against each other (null keys compare
     # equal in the state store — all-but-one would be silently dropped);
-    # give them a PER-ROW surrogate key so they always pass through. The
-    # uuid() component makes the key unique even for rows sharing
-    # url+timestamp, and concat_ws tolerates a NULL url (a plain concat
+    # give them a surrogate key derived from the row's REMAINING content
+    # (url, timestamp, html-byte hash). Deterministic on purpose: a task
+    # retry / checkpoint replay re-evaluates the expression and MUST
+    # produce the same key, or replayed rows double-emit under new
+    # identities and downstream reconciliation keyed on content_hash can
+    # never match (an earlier uuid() variant had exactly that flaw).
+    # Rows identical in all of url+ts+html are true duplicates and DO
+    # collapse — correct. concat_ws tolerates a NULL url (a plain concat
     # would go NULL and collapse every null-url row into one state entry).
     hashed = pages.withColumn(
         "content_hash",
@@ -126,7 +131,7 @@ def stream_dedup_exact(
                 F.lit("no-text"),
                 F.coalesce(F.col("url"), F.lit("")),
                 F.col("warc_ts").cast("string"),
-                F.expr("uuid()"),
+                F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256),
             ),
         ),
     )

@@ -115,3 +115,29 @@ def test_remaining_pages_prunes_committed_groups(spark, tmp_path):
     remaining = log.remaining_pages(spark, pages, F.col("g"))
     got = {r["url"] for r in remaining.collect()}
     assert got == {f"u{i}" for i in range(20) if i % 4 != 2}
+
+
+def test_sink_manifest_refreshes_after_overwrite(spark, tmp_path):
+    """A manifest sealed for run 1 must be REPLACED, not returned, when
+    the results were re-written with mode=overwrite: the old manifest
+    describes deleted files with stale counts."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_manifest, write_results
+
+    out = str(tmp_path / "res")
+    mpath = str(tmp_path / "manifest" / "m.json")
+    write_results(_df(spark, ["a"]).withColumn("status", F.lit("SUCCESS")), out)
+    m1 = write_manifest(spark, out, mpath)
+    assert m1["total_rows"] == 1
+
+    write_results(
+        _df(spark, ["b", "c"]).withColumn("status", F.lit("SUCCESS")), out
+    )
+    m2 = write_manifest(spark, out, mpath)
+    assert m2["total_rows"] == 2
+    import json as _json
+
+    with open(mpath) as f:
+        on_disk = _json.load(f)
+    assert on_disk["total_rows"] == 2  # the stale manifest was replaced

@@ -366,6 +366,8 @@ def urls(spark):
         (3, "https://notexample.com/clean.html"),      # NOT a subdomain of example.com
         (4, "https://deep.sub.bad.tracker.net/a.html"),
         (5, "https://ok.org/archive.exe"),
+        (6, None),                                 # NULL url → unparseable
+        (7, "https://example.zip"),                # .zip TLD, no path: NOT an ext
     ]
     return spark.createDataFrame(rows, "doc_id long, url string")
 
@@ -387,6 +389,9 @@ def test_url_filter_reasons_and_precedence(spark, urls):
     assert out[4]["url_reject_reason"] == "blocked_domain"  # deep subdomain
     assert out[5]["url_reject_reason"] == "blocked_extension"
     assert out[0]["host"] == "a.example.com" and out[0]["ext"] == "html"
+    assert out[6]["url_reject_reason"] == "unparseable" and not out[6]["url_ok"]
+    # a TLD is not a file extension: ext comes from the path only
+    assert out[7]["ext"] == "" and out[7]["url_ok"]
 
 
 def test_url_filter_against_matches_literal_semantics(spark, urls):
@@ -523,6 +528,7 @@ def test_pii_signals_counts_and_redaction(spark):
         (1, "server at 192.168.0.17 answered"),
         (2, "call 555-123-4567 or +321-555-0100 now"),
         (3, "clean text with no personal data"),
+        (4, "call 555.123.4567 soon"),   # dotted phone: must NOT leave an [IP]-residue
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in pii_signals(df).collect()}
@@ -533,6 +539,7 @@ def test_pii_signals_counts_and_redaction(spark):
     assert out[2]["n_phones"] == 2
     assert out[2]["redacted_text"] == "call [PHONE] or [PHONE] now"
     assert not out[3]["has_pii"] and out[3]["redacted_text"] == rows[3][1]
+    assert out[4]["redacted_text"] == "call [PHONE] soon"
 
 
 def test_gopher_filter_reason_precedence(spark):

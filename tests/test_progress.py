@@ -72,3 +72,18 @@ def test_streaming_progress_listener(spark, pages_path, tmp_path):
         spark.streams.removeListener(listener)
     assert seen, "listener saw no micro-batch progress"
     assert sum(p["num_input_rows"] for p in seen) == 400
+
+
+def test_run_with_progress_without_group_reports_end_counts(spark, pages_path):
+    """Without a job group the tracker only sees ACTIVE jobs; the final
+    done event must still carry end-state counts (seen-job accumulation)
+    and counters must stay monotonic as jobs finish."""
+    events: list[ProgressEvent] = []
+    pages = spark.read.parquet(pages_path)
+    df = extract_documents(pages.repartition(16))
+    n = run_with_progress(lambda: df.count(), events.append, spark, interval_sec=0.05)
+    assert n == 400
+    final = events[-1]
+    assert final.done and final.num_completed_tasks >= 16
+    comp = [e.num_completed_tasks for e in events]
+    assert comp == sorted(comp)
