@@ -94,3 +94,35 @@ def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -
         with open(manifest_path, "wb") as f:
             f.write(payload)
     return manifest
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    text_col: str = "extracted_text",
+    meta_cols: tuple[str, ...] = ("url", "content_hash"),
+    max_records_per_file: int = 50_000,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Emit the curated corpus as size-capped JSONL shards — the
+    interchange format LLM-pretraining loaders consume (one JSON object
+    per line: {"text": ..., <meta>}). The same record-cap discipline as
+    write_results bounds shard bytes; compression is per-file, so shards
+    stay independently readable and the write remains one narrow
+    projection with zero shuffles (partitioning-preserving: upstream
+    bucketing/salting carries straight through to shard boundaries).
+
+    Columns are projected and renamed here (text_col -> "text") so the
+    on-disk schema is loader-shaped regardless of the pipeline's column
+    names."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(text_col).alias("text")] + [F.col(c) for c in meta_cols]
+    (
+        df.select(*cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .json(path)
+    )

@@ -141,3 +141,34 @@ def test_sink_manifest_refreshes_after_overwrite(spark, tmp_path):
     with open(mpath) as f:
         on_disk = _json.load(f)
     assert on_disk["total_rows"] == 2  # the stale manifest was replaced
+
+
+def test_training_shards_round_trip(spark, tmp_path):
+    """JSONL shards: loader-shaped schema (text + meta), record cap
+    respected per file, values round-trip through gzip JSON."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_training_shards
+
+    df = (
+        spark.range(10)
+        .select(
+            F.concat(F.lit("doc text "), F.col("id").cast("string")).alias(
+                "extracted_text"
+            ),
+            F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+            F.sha2(F.col("id").cast("string"), 256).alias("content_hash"),
+        )
+        .coalesce(1)
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, max_records_per_file=4)
+    back = spark.read.json(out)
+    assert sorted(back.columns) == ["content_hash", "text", "url"]
+    assert back.count() == 10
+    rows = {r["url"]: r["text"] for r in back.collect()}
+    assert rows["https://x/3"] == "doc text 3"
+    import glob
+
+    files = glob.glob(f"{out}/part-*.json.gz")
+    assert len(files) >= 3  # 10 rows / cap 4 -> >= 3 shards, gzip per file
