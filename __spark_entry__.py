@@ -675,6 +675,24 @@ def _q_pii(spark, sf_dir):
     )
 
 
+def _q_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: connected components over the
+    MinHash pair output, every doc stamped with its canonical cluster
+    id (pairwise dedup under-deletes transitive groups)."""
+    from docling_jobkit_spark.operators.dedup import (
+        canonical_ids,
+        minhash_near_duplicates,
+        near_dup_clusters,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold_num=3, threshold_den=5)
+    clusters = near_dup_clusters(pairs)
+    return canonical_ids(docs, clusters).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Composite Gopher-rules quality gate: length + 2-gram repetition +
     token shape + language, one pass/fail with reason precedence."""
@@ -854,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii,
         "gopher_filter": _q_gopher_filter,
+        "minhash_clusters": _q_minhash_clusters,
     }
 
 
@@ -1581,6 +1600,27 @@ def oracle_sql() -> dict[str, str]:
                    count(bench_gram)::int as n_matched,
                    (count(bench_gram) > 0) as contaminated
             from m group by doc_id
+        """,
+        "minhash_clusters": f"""
+            with recursive pairs as ({_minhash_oracle_sql()}),
+            edges as (
+              select id_a as src, id_b as dst from pairs
+              union
+              select id_b, id_a from pairs
+            ),
+            closure(a, b) as (
+              select src, dst from edges
+              union
+              select c.a, e.dst from closure c join edges e on c.b = e.src
+            ),
+            lbl as (
+              select a as id, least(a, min(b)) as cluster_id
+              from closure group by a
+            )
+            select d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) as cluster_id,
+                   (coalesce(l.cluster_id, d.doc_id) = d.doc_id) as is_canonical
+            from documents d left join lbl l on d.doc_id = l.id
         """,
         "gopher_filter": f"""
             with t as (

@@ -65,10 +65,9 @@ def _tree_cpu_stats() -> dict[int, float]:
     for cross-round comparison: host contention stretches wall time but
     barely moves the CPU a fixed plan burns.
 
-    Returned per-pid (not pre-summed) so callers can delta pairwise:
-    summing first made the delta NEGATIVE whenever a worker with
-    accumulated CPU died orphaned between samples (its time leaves the
-    tree without being reaped into a surviving parent's cutime)."""
+    Returned per-pid so _cpu_delta can document and bound its failure
+    modes explicitly (see its docstring for the sum-vs-pairwise
+    analysis)."""
     hz = os.sysconf("SC_CLK_TCK")
     # build ppid map once per call (bench cadence: a few calls/second max)
     ppid_of: dict[int, int] = {}
@@ -202,6 +201,7 @@ def main() -> None:
         "decontaminate",
         "pii_redact",
         "gopher_filter",
+        "minhash_clusters",
     ]
     for name in headline:
         q = queries[name]

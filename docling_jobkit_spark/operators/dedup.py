@@ -575,3 +575,88 @@ def segment_dup_stats(
         n_dup.alias("n_dup_segs"),
         F.round(n_dup / n_segs, 6).alias("dup_seg_frac"),
     )
+
+
+# --- Near-dup cluster resolution (connected components) --------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve pairwise near-duplicate output into CLUSTERS: connected
+    components over the (id_a, id_b) edge set, labeling every member
+    with the minimum doc id of its component — the canonical
+    representative the keep-one-per-cluster step needs (pairwise dedup
+    alone under-deletes: A~B and B~C may hold while A~C was never
+    emitted, yet all three are one duplicate group).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbors' labels), via one shuffle join on the
+    symmetrized edge list; iteration stops when no label changed. The
+    round count is bounded by the component diameter — near-dup
+    components are star-like (a template + its variants), so this
+    converges in a handful of rounds even at corpus scale; the edge
+    table is labels-joined only (two long columns), never text. Each
+    round's result is localCheckpointed: without it the join lineage
+    doubles per round and the final DAG re-evaluates every prior round
+    per consumer.
+
+    Input: any DataFrame with long columns id_a, id_b (the output shape
+    of jaccard_pairs / minhash_near_duplicates / simhash_near_duplicates
+    / embedding_near_duplicates). Returns (id, cluster_id) for every id
+    that appears in at least one pair; singletons never enter a pair and
+    keep themselves by definition (left-join + coalesce at the caller,
+    see canonical_ids)."""
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("nbr_min")).select(
+        F.col("src").alias("id"),
+        F.least(F.col("src"), F.col("nbr_min")).alias("cluster_id"),
+    )
+    labels = _materialize(labels)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = _materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_ids(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stamp every document with its dedup cluster id (itself for
+    singletons) and the keep/drop decision: keep iff the doc IS its
+    cluster's canonical (minimum) id."""
+    c = clusters.withColumnRenamed("id", id_col)
+    out = df.join(c, on=id_col, how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))

@@ -562,3 +562,54 @@ def test_gopher_filter_reason_precedence(spark):
     # repetition fires BEFORE lang (precedence), even though doc 2 is also 'und'
     assert out[2]["quality_reject_reason"] == "repetitive_2gram"
     assert out[3]["quality_reject_reason"] == "lang_unknown"
+
+
+# --- near-dup cluster resolution -------------------------------------------
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C with no direct A~C edge must still form ONE cluster
+    (pairwise keep-one under-deletes transitive groups); disjoint pairs
+    and singletons stay separate."""
+    from docling_jobkit_spark.operators.dedup import canonical_ids, near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11)], "doc_id long")
+    out = {r["doc_id"]: r for r in canonical_ids(docs, near_dup_clusters(pairs)).collect()}
+    assert out[5]["cluster_id"] == 5 and out[5]["is_canonical"]  # singleton
+    assert not out[4]["is_canonical"] and out[4]["cluster_id"] == 1
+    keep = {d for d, r in out.items() if r["is_canonical"]}
+    assert keep == {1, 5, 10}
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Property check vs a Python union-find on a random-ish fixed graph."""
+    from docling_jobkit_spark.operators.dedup import near_dup_clusters
+
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50) if i != (i * 7 + 3) % 50]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == expected
