@@ -607,8 +607,14 @@ def _q_url_filter_domains(spark, sf_dir):
         .select("doc_id", "source", "lang")
         .withColumn("url", _synth_url())
     )
-    bl = spark.createDataFrame(
-        [("spamtracker.net",), ("src3.example.com",)], "domain string"
+    # literal dim built JVM-side: a python-list createDataFrame routes
+    # through the Python-RDD path (applySchemaToPythonRDD) and forks a
+    # python worker PER DEFAULT-PARALLELISM PARTITION to serve two rows
+    # — measured 36 CPU-s of fork+import for this query at 32 cores
+    bl = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("spamtracker.net"), F.lit("src3.example.com"))
+        ).alias("domain")
     )
     return url_filter_against(docs, bl).select("doc_id", "host", "domain_blocked")
 

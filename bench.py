@@ -136,14 +136,19 @@ def main() -> None:
         first run additionally pays JIT/codegen for the query's
         expressions. The CPU-seconds minimum is the noise-immune twin
         (see _tree_cpu_stats + _cpu_delta)."""
-        best = best_cpu = float("inf")
+        best = float("inf")
+        cpu_samples: list[float] = []
         for _ in range(n):
             c0 = _tree_cpu_stats()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-            best_cpu = min(best_cpu, _cpu_delta(c0, _tree_cpu_stats()))
-        return best, best_cpu
+            cpu_samples.append(_cpu_delta(c0, _tree_cpu_stats()))
+        # a clamped-to-zero sample means that window lost CPU accounting
+        # (orphaned worker) — prefer the smallest POSITIVE sample so one
+        # corrupted window can't report a free query
+        positive = [s for s in cpu_samples if s > 0]
+        return best, (min(positive) if positive else 0.0)
 
     pipe = ExtractionPipeline(
         spark, PipelineConfig(num_partitions=CPUS * 2, use_slicing=False)
