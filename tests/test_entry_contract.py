@@ -24,7 +24,9 @@ def test_oracle_sql_uses_registered_tables_only():
     import re
 
     for name, sql in entry_mod.oracle_sql().items():
-        ctes = set(re.findall(r"(\w+)\s+as\s*\(", sql, re.I))
+        # CTE names, with or without an explicit column list
+        # ("closure(a, b) as (" declares CTE "closure")
+        ctes = set(re.findall(r"(\w+)\s*(?:\([\w\s,]*\))?\s+as\s*\(", sql, re.I))
         froms = set(re.findall(r"(?:from|join)\s+([a-z_]+)", sql, re.I))
         unknown = froms - tables - ctes
         assert not unknown, f"{name}: unknown tables {unknown}"
