@@ -215,23 +215,30 @@ def main() -> None:
         cpu_timings[name] = round(cpu, 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cpu_seconds": cpu_timings,
-                "timing": f"min_of_{REPEATS}_runs_per_query",
-                "sf": _sf_of(SF_DIR),
-                "cpus": CPUS,
-                **extras,
-                **_recorded_scaling(),
-            }
-        )
+    result_line = json.dumps(
+        {
+            "metric": "total_headline_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_cpu_seconds": cpu_timings,
+            "timing": f"min_of_{REPEATS}_runs_per_query",
+            "sf": _sf_of(SF_DIR),
+            "cpus": CPUS,
+            **extras,
+            **_recorded_scaling(),
+        }
     )
+    # Stop the session BEFORE emitting the result: teardown of the
+    # enlarged idle python-worker pool sprays BrokenPipeError tracebacks
+    # (cost the driver the entire round-3 bench, BENCH_r03 parsed:null).
+    # In child mode (the default path — see main entry below) the JVM and
+    # daemons inherit the child's piped fds, so even stragglers that
+    # outlive stop() land in the parent's filter, never on the real
+    # stdout.
     spark.stop()
+    print(result_line)
+    sys.stdout.flush()
 
 
 def _recorded_scaling() -> dict:
@@ -253,5 +260,47 @@ def _recorded_scaling() -> dict:
     return {}
 
 
+def _run_as_filtering_wrapper() -> int:
+    """Re-exec the bench in a child process with BOTH streams captured,
+    then print exactly one line — the result JSON — on the real stdout.
+
+    Why: the Spark JVM and the pyspark daemon fork-tree inherit the bench
+    process's stdout/stderr fds at launch. Redirecting our own fds after
+    the fact cannot silence them, and their async teardown tracebacks
+    (BrokenPipeError storms from the enlarged idle-worker pool) buried
+    the round-3 JSON line (BENCH_r03.json: parsed null). Running the real
+    bench as a child gives every descendant piped fds; the parent waits
+    for full reaping, extracts the JSON line, and emits it alone."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    result_line = None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                if json.loads(line).get("metric"):
+                    result_line = line
+                    break
+            except json.JSONDecodeError:
+                continue
+    if result_line is None:
+        sys.stderr.write(proc.stdout[-4000:])
+        sys.stderr.write("\nbench child produced no result JSON line\n")
+        return proc.returncode or 1
+    print(result_line)
+    sys.stdout.flush()
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_run_as_filtering_wrapper())

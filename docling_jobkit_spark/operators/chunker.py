@@ -104,22 +104,40 @@ def chunk_text(
     step = max_tokens - overlap
     chunks = []
     ci = 0
+    # Linear sweep state (windows advance monotonically in lo and hi, so
+    # per-chunk rescans of spans/pages/headings are unnecessary — this
+    # was the #1 CPU consumer in the round-3 bench at O(chunks × spans)):
+    # - pages/headings: bisect over their sorted start offsets
+    # - spans: an active list; a span enters once when its start drops
+    #   below hi (pointer over start-sorted spans) and leaves permanently
+    #   once its end <= lo (lo is nondecreasing, so no re-entry). Appends
+    #   happen in sorted order and filtering preserves order, so the
+    #   emitted overlapped list is byte-identical to the old rescan.
+    from bisect import bisect_right
+
+    heading_starts = [s for s, _, _ in headings]
+    span_ptr = 0
+    active: list[tuple[int, int, str, str]] = []
     for t0 in range(0, len(toks), step):
         window = toks[t0 : t0 + max_tokens]
         lo, hi = window[0][0], window[-1][1]
         chunk_str = text[lo:hi]
         # all pages the chunk crosses (1-based), sorted distinct
-        p_lo = sum(1 for p in page_starts if p <= lo)
-        p_hi = sum(1 for p in page_starts if p <= hi - 1)
+        p_lo = bisect_right(page_starts, lo)
+        p_hi = bisect_right(page_starts, hi - 1)
         pages = list(range(p_lo, p_hi + 1))
-        hs = [(s, e, h) for s, e, h in headings if s <= lo]
-        nearest = hs[-1:]
+        h_idx = bisect_right(heading_starts, lo) - 1
+        nearest = [headings[h_idx]] if h_idx >= 0 else []
         # contextualize: heading prepended only when fully before the window
         if nearest and nearest[0][1] <= lo:
             ctx_text = nearest[0][2] + "\n" + chunk_str
         else:
             ctx_text = chunk_str
-        overlapped = [sp for sp in all_spans if sp[0] < hi and sp[1] > lo]
+        while span_ptr < len(all_spans) and all_spans[span_ptr][0] < hi:
+            active.append(all_spans[span_ptr])
+            span_ptr += 1
+        active = [sp for sp in active if sp[1] > lo]
+        overlapped = active
         chunks.append(
             {
                 "chunk_index": ci,

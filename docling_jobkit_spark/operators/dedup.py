@@ -25,6 +25,8 @@ operating point for ~0.5 Jaccard threshold.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,11 +66,23 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     this adds a harmless repartition — at corpus scale file counts exceed
     core counts by orders of magnitude and the branch is never taken.
     Non-file sources (in-memory test relations) report zero files and are
-    repartitioned, which is exactly the single-partition case this guards."""
+    repartitioned, which is exactly the single-partition case this guards.
+
+    A derived plan that was ALREADY repartitioned to >= target (few leaf
+    files, but an explicit exchange upstream) is detected from the
+    analyzed logical plan (``Repartition n`` / ``RepartitionByExpression
+    [...], n`` nodes) and left alone — no redundant second shuffle. The
+    check is string-plan-only: no physical planning, no ``df.rdd``."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for m in re.finditer(
+        r"Repartition (\d+),|RepartitionByExpression \[.*?\], (\d+)", plan
+    ):
+        if int(m.group(1) or m.group(2)) >= target:
+            return df
+    return df.repartition(target)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -591,16 +605,23 @@ def near_dup_clusters(
     alone under-deletes: A~B and B~C may hold while A~C was never
     emitted, yet all three are one duplicate group).
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes min(own label, neighbors' labels), via one shuffle join on the
-    symmetrized edge list; iteration stops when no label changed. The
-    round count is bounded by the component diameter — near-dup
-    components are star-like (a template + its variants), so this
-    converges in a handful of rounds even at corpus scale; the edge
-    table is labels-joined only (two long columns), never text. Each
-    round's result is localCheckpointed: without it the join lineage
-    doubles per round and the final DAG re-evaluates every prior round
-    per consumer.
+    Algorithm: iterative min-label propagation WITH pointer jumping.
+    Each round every node takes min(own label, neighbors' labels) via
+    one shuffle join on the symmetrized edge list, then shortcuts
+    through its label (label := label's label — a labels⋈labels self
+    join), so chain-shaped components (templated pages drifting
+    gradually) converge in O(log diameter) rounds instead of O(diameter)
+    — 20 rounds covers diameters up to ~10^6. Near-dup components are
+    usually star-like and converge in a handful of rounds regardless;
+    the edge table is labels-joined only (two long columns), never text.
+    Each round's result is localCheckpointed: without it the join
+    lineage doubles per round and the final DAG re-evaluates every prior
+    round per consumer.
+
+    If the loop exhausts ``max_iterations`` with labels still changing,
+    raises ``RuntimeError`` rather than silently returning split
+    clusters (keep-one dedup over a partial merge under-deletes with no
+    signal — the failure mode must be loud).
 
     Input: any DataFrame with long columns id_a, id_b (the output shape
     of jaccard_pairs / minhash_near_duplicates / simhash_near_duplicates
@@ -633,6 +654,20 @@ def near_dup_clusters(
                 ).alias("cluster_id"),
             )
         )
+        # pointer jump: label := label's label. Every label IS a node id
+        # (mins over node ids) and labels covers every node, so the self
+        # join always resolves; labels[x].cluster_id <= x keeps the min
+        # invariant. This is the doubling step that makes chains O(log d).
+        parent = new_labels.select(
+            F.col("id").alias("_pid"), F.col("cluster_id").alias("_plabel")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels["cluster_id"] == parent["_pid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_plabel"), F.col("cluster_id")).alias("cluster_id"),
+            )
+        )
         new_labels = _materialize(new_labels)
         changed = (
             new_labels.alias("n")
@@ -644,6 +679,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} rounds "
+            "(component diameter > ~2^rounds with pointer jumping); returning "
+            "partially merged clusters would silently under-delete"
+        )
     return labels
 
 

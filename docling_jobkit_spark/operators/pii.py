@@ -5,7 +5,9 @@ detect and mask emails, IPv4 addresses, and dash/dot-delimited phone
 numbers. Everything is a JVM-side codegen projection — patterns are
 class-portable (no lookaround, no engine-specific escapes) so the exact
 same regexes run in the DuckDB oracle; redaction order is fixed
-(email -> ip -> phone) and deterministic.
+(email -> phone -> ip) and deterministic — phone BEFORE ip, so a
+dot-delimited phone like 555.123.4567 can't have its leading octets
+eaten by the IPv4 pass first (see pii_signals).
 
 Scale note: pure narrow projections — at 100 TB these run at scan speed
 with full column pruning, no shuffle; the counts ride along for

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 import time
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -43,7 +44,7 @@ def run_with_progress(
     callback: Callable[[ProgressEvent], None],
     spark,
     interval_sec: float = 0.25,
-    group_id: str | None = None,
+    group_id: str | None = "",
 ) -> object:
     """Run a driver action (count/collect/write...) while reporting
     scheduler progress to ``callback``.
@@ -52,9 +53,17 @@ def run_with_progress(
     unchanged and failures-are-rows semantics are untouched); a daemon
     poller thread samples the status tracker until the action returns,
     then emits one final ``done=True`` event with the end-state counts.
+
     ``group_id`` scopes the counters to this action's jobs via a Spark
-    job group (recommended when the session runs concurrent actions)."""
+    job group. Default ``""`` generates a unique group per call —
+    setJobGroup is cheap and scoping is EXACT: without it, jobs that
+    start and finish between poll samples are never seen (undercounted
+    final event, zeros for sub-interval actions) and concurrent actions
+    on other threads bleed into the counts. Pass ``None`` to explicitly
+    opt out (active-jobs sampling, best-effort)."""
     sc = spark.sparkContext
+    if group_id == "":
+        group_id = f"run_with_progress-{uuid.uuid4().hex}"
     if group_id is not None:
         sc.setJobGroup(group_id, "run_with_progress", interruptOnCancel=False)
     tracker = sc.statusTracker()

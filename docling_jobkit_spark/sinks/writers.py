@@ -91,8 +91,19 @@ def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -
             f_["file"] for f_ in manifest["files"]
         ]:
             return existing
-        with open(manifest_path, "wb") as f:
+        # Stale-manifest replacement must match the publish discipline of
+        # _put_if_absent: write the payload to a tmp name and atomically
+        # rename over the manifest (atomic replace on POSIX ≡ an
+        # unconditional PUT on object stores). A plain truncate+write
+        # here would let a concurrent reader (or a crash mid-write)
+        # observe a torn/empty manifest — the exact failure the
+        # conditional-PUT path exists to prevent. Concurrent re-writers
+        # each publish a complete payload; last-PUT-wins is fine because
+        # both describe the same (current) directory listing.
+        tmp_path = f"{manifest_path}.tmp.{os.getpid()}.{time.time_ns()}"
+        with open(tmp_path, "wb") as f:
             f.write(payload)
+        os.rename(tmp_path, manifest_path)
     return manifest
 
 

@@ -103,6 +103,38 @@ def test_sink_manifest_is_conditional_put(spark, tmp_path):
     assert m1["total_rows"] == 1
 
 
+def test_stale_manifest_replaced_atomically(spark, tmp_path):
+    """When the data directory is re-written after the manifest was
+    sealed, write_manifest must REPLACE the stale manifest — via
+    tmp+rename (atomic replace ≡ unconditional PUT), never a truncate+
+    write a concurrent reader could observe torn — and leave no tmp
+    residue."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_manifest, write_results
+
+    out = str(tmp_path / "res")
+    write_results(_df(spark, ["a"]).withColumn("status", F.lit("SUCCESS")), out)
+    mpath = str(tmp_path / "manifest" / "m.json")
+    m1 = write_manifest(spark, out, mpath)
+    # re-write the data (overwrite): old manifest is now stale
+    write_results(
+        _df(spark, ["a", "b", "c"]).withColumn("status", F.lit("SUCCESS")), out
+    )
+    m2 = write_manifest(spark, out, mpath)
+    assert m2["total_rows"] == 3 and m1["total_rows"] == 1
+    with open(mpath) as f:
+        assert json.load(f)["total_rows"] == 3
+    assert os.listdir(str(tmp_path / "manifest")) == ["m.json"], "tmp residue"
+    # the replacement discipline is tmp+atomic-rename, not truncate+write
+    import inspect
+
+    import docling_jobkit_spark.sinks.writers as w
+
+    src = inspect.getsource(w.write_manifest)
+    assert "os.rename(tmp_path, manifest_path)" in src
+
+
 def test_remaining_pages_prunes_committed_groups(spark, tmp_path):
     from pyspark.sql import functions as F
 

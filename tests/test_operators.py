@@ -130,6 +130,107 @@ def test_chunk_text_pages_and_headings():
     assert chunks[-1]["page_numbers"][-1] == 2
 
 
+def test_chunk_text_sweep_matches_naive_rescan():
+    """The round-4 linearization (bisect pages/headings + active-span
+    sweep) must be byte-identical to the per-chunk rescan semantics it
+    replaced. Differential check on randomized docs with nested/
+    overlapping spans, multi-page text, and tied heading starts."""
+    import random
+
+    from docling_jobkit_spark.extractor.extract import PAGE_JOIN
+    from docling_jobkit_spark.operators.chunker import chunk_text
+
+    def naive(text, spans, max_tokens, overlap):
+        if not text:
+            return []
+        toks, pos = [], 0
+        for part in text.split():
+            start = text.index(part, pos)
+            toks.append((start, start + len(part)))
+            pos = start + len(part)
+        if not toks:
+            return []
+        page_starts = [0]
+        idx = text.find(PAGE_JOIN)
+        while idx != -1:
+            page_starts.append(idx + len(PAGE_JOIN))
+            idx = text.find(PAGE_JOIN, idx + 1)
+        headings = sorted(
+            (int(s["start"]), int(s["end"]), text[int(s["start"]): int(s["end"])])
+            for s in spans
+            if s.get("kind") == "heading"
+        )
+        all_spans = sorted(
+            (int(s["start"]), int(s["end"]), s.get("kind", ""), s.get("path", ""))
+            for s in spans
+        )
+        step = max_tokens - overlap
+        out, ci = [], 0
+        for t0 in range(0, len(toks), step):
+            window = toks[t0: t0 + max_tokens]
+            lo, hi = window[0][0], window[-1][1]
+            chunk_str = text[lo:hi]
+            p_lo = sum(1 for p in page_starts if p <= lo)
+            p_hi = sum(1 for p in page_starts if p <= hi - 1)
+            hs = [(s, e, h) for s, e, h in headings if s <= lo]
+            nearest = hs[-1:]
+            ctx = (
+                nearest[0][2] + "\n" + chunk_str
+                if nearest and nearest[0][1] <= lo
+                else chunk_str
+            )
+            overlapped = [sp for sp in all_spans if sp[0] < hi and sp[1] > lo]
+            out.append(
+                {
+                    "chunk_index": ci,
+                    "text": ctx,
+                    "raw_text": chunk_str,
+                    "num_tokens": len(window),
+                    "headings": [h for _, _, h in nearest],
+                    "captions": [
+                        text[s:e] for s, e, k, _ in overlapped if k == "caption"
+                    ],
+                    "page_numbers": list(range(p_lo, p_hi + 1)),
+                    "doc_items": [p for _, _, _, p in overlapped],
+                    "has_image": False,
+                }
+            )
+            ci += 1
+            if t0 + max_tokens >= len(toks):
+                break
+        return out
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n_pages = rng.randint(1, 4)
+        text = PAGE_JOIN.join(
+            " ".join(f"w{p}_{i}" for i in range(rng.randint(0, 60)))
+            for p in range(n_pages)
+        )
+        spans = []
+        for _ in range(rng.randint(0, 12)):
+            if not text:
+                break
+            s = rng.randrange(0, len(text))
+            e = rng.randint(s + 1, min(len(text), s + rng.randint(1, 80)))
+            spans.append(
+                {
+                    "start": s,
+                    "end": e,
+                    "kind": rng.choice(["heading", "caption", "para", "para"]),
+                    "path": f"html/body/x{rng.randint(0, 5)}",
+                }
+            )
+        # tied heading starts exercise the bisect tie-break
+        if spans:
+            spans.append(dict(spans[0], kind="heading"))
+        mt = rng.choice([8, 16, 64])
+        ov = rng.choice([0, 2, mt // 2 - 1])
+        assert chunk_text(text, spans, mt, ov) == naive(text, spans, mt, ov), (
+            f"trial {trial} diverged"
+        )
+
+
 def test_chunker_failure_propagation(spark):
     from docling_jobkit_spark.operators.chunker import chunk_documents
 
@@ -585,6 +686,37 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert not out[4]["is_canonical"] and out[4]["cluster_id"] == 1
     keep = {d for d, r in out.items() if r["is_canonical"]}
     assert keep == {1, 5, 10}
+
+
+def test_near_dup_clusters_long_chain_pointer_jumping(spark):
+    """Chain-shaped component with diameter >> max_iterations: pointer
+    jumping must converge in O(log d) rounds (plain propagation needs
+    d rounds and used to silently return split clusters)."""
+    from docling_jobkit_spark.operators.dedup import near_dup_clusters
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, max_iterations=10).collect()
+    }
+    assert labels == {i: 0 for i in range(n + 1)}
+
+
+def test_near_dup_clusters_nonconvergence_is_loud(spark):
+    """If iterations run out with labels still moving, raise — never
+    silently return partially merged clusters."""
+    import pytest
+
+    from docling_jobkit_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iterations=1)
 
 
 def test_near_dup_clusters_matches_union_find(spark):

@@ -216,3 +216,23 @@ def test_curation_filters_are_scan_fused(spark, sf_dir):
         plan = _plan(e.queries()[q](spark, sf_dir))
         assert "Exchange" not in plan, q
         assert plan.count("Scan parquet") == 1, q
+
+
+def test_spread_for_compute_skips_already_spread_plans(spark, sf_dir):
+    """A derived frame that already carries an exchange to >= target
+    partitions must pass through unchanged (no redundant second
+    shuffle); an under-parallel leaf still gets the spread."""
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    pre = docs.repartition(target)
+    assert spread_for_compute(pre) is pre
+    pre_keyed = docs.repartition(target * 2, "doc_id").select("doc_id", "text")
+    assert spread_for_compute(pre_keyed) is pre_keyed
+
+    # under-parallel: small repartition below target still gets spread
+    small = docs.repartition(1)
+    plan = _plan(spread_for_compute(small))
+    assert f"RoundRobinPartitioning({target}" in plan

@@ -81,9 +81,29 @@ def test_run_with_progress_without_group_reports_end_counts(spark, pages_path):
     events: list[ProgressEvent] = []
     pages = spark.read.parquet(pages_path)
     df = extract_documents(pages.repartition(16))
-    n = run_with_progress(lambda: df.count(), events.append, spark, interval_sec=0.05)
+    n = run_with_progress(
+        lambda: df.count(), events.append, spark, interval_sec=0.05, group_id=None
+    )
     assert n == 400
     final = events[-1]
     assert final.done and final.num_completed_tasks >= 16
     comp = [e.num_completed_tasks for e in events]
     assert comp == sorted(comp)
+
+
+def test_run_with_progress_default_group_is_exact_for_fast_actions(spark):
+    """Default group_id generates a unique job group, so even an action
+    that finishes BETWEEN poll samples reports exact end-state counts
+    (the old active-jobs sampling reported zeros for sub-interval
+    actions)."""
+    events: list[ProgressEvent] = []
+    n = run_with_progress(
+        lambda: spark.range(100).count(),
+        events.append,
+        spark,
+        interval_sec=5.0,  # guarantees zero mid-run samples
+    )
+    assert n == 100
+    final = events[-1]
+    assert final.done
+    assert final.num_completed_tasks > 0, "fast action must not report zeros"
