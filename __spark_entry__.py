@@ -81,6 +81,28 @@ def _q_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("url", "chunk_index", "text", "num_tokens")
 
 
+def _q_chunker_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-aware (hierarchical) chunker over extraction results —
+    sections split at heading spans, then token-windowed per section
+    (the reference's hierarchical/hybrid chunker analog,
+    ``convert/chunking.py:109-199``). Rows-only: the section logic runs
+    on extractor output (spans), not SQL-expressible; structure semantics
+    are pinned by test_chunk_text_hierarchical_respects_section_boundaries."""
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+    from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    pipe = ExtractionPipeline(
+        spark,
+        PipelineConfig(num_partitions=max(8, spark.sparkContext.defaultParallelism)),
+    )
+    chunks = chunk_documents(
+        pipe.extract(pages), max_tokens=32, overlap=4, mode="hierarchical"
+    )
+    return chunks.select("url", "chunk_index", "text", "num_tokens", "headings")
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -597,6 +619,40 @@ def _q_url_filter(spark, sf_dir):
     ).select("doc_id", "url", "scheme", "host", "ext", "url_ok", "url_reject_reason")
 
 
+def _q_curate_stamp(spark, sf_dir):
+    """Batch twin of the streaming curation stamp: runs the SAME
+    `_curate_stamp` projection the stream path uses
+    (streaming/pipeline.py — url gate + PII signals + quality features +
+    language ID; streaming==batch byte-equivalence is pinned in
+    test_streaming). This entry gives the family a driver-visible exact
+    oracle: the stamp is a pure projection, so the whole decision fuses
+    into the scan — zero shuffles at any corpus size."""
+    from docling_jobkit_spark.streaming.pipeline import _curate_stamp
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        _synth_url().alias("url"),
+        _inject_pii_text().alias("text"),
+    )
+    out = _curate_stamp(
+        pages, blocked_domains=("spamtracker.net",), blocked_exts=("exe", "jpg")
+    )
+    return out.select(
+        "doc_id",
+        "url",
+        "url_ok",
+        "url_reject_reason",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        "has_pii",
+        "n_tokens",
+        "punct_ratio",
+        "lang_pred",
+    )
+
+
 def _q_url_filter_domains(spark, sf_dir):
     """Blocklist-TABLE domain filter: distinct hosts -> suffix explode ->
     broadcast semi-join -> broadcast flag-back (the UT1-scale shape)."""
@@ -647,13 +703,11 @@ def _q_decontaminate(spark, sf_dir):
     return contamination(docs, bench, k=5)
 
 
-def _q_pii(spark, sf_dir):
-    """PII detect + redact over text with deterministically injected
-    emails/IPs/phones (the raw corpus is PII-free by construction)."""
-    from docling_jobkit_spark.operators.pii import pii_signals
-
-    docs = _read(spark, sf_dir, "documents")
-    injected = F.concat(
+def _inject_pii_text() -> F.Column:
+    """Deterministic PII injection (the raw corpus is PII-free by
+    construction): emails on doc_id%13, IPs on %17, phones on %19.
+    SQL twin: _PII_INJECT_SQL — keep in lockstep."""
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 13 == 0,
@@ -675,7 +729,15 @@ def _q_pii(spark, sf_dir):
             F.lit("")
         ),
     )
-    base = docs.select("doc_id", injected.alias("text"))
+
+
+def _q_pii(spark, sf_dir):
+    """PII detect + redact over text with deterministically injected
+    emails/IPs/phones (the raw corpus is PII-free by construction)."""
+    from docling_jobkit_spark.operators.pii import pii_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _inject_pii_text().alias("text"))
     return pii_signals(base).select(
         "doc_id", "n_emails", "n_ipv4", "n_phones", "has_pii", "redacted_text"
     )
@@ -871,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "url_filter": _q_url_filter,
         "url_filter_domains": _q_url_filter_domains,
+        "curate_stamp": _q_curate_stamp,
         "repetition_signals": _q_repetition_signals,
         "segment_dup": _q_segment_dup,
         "decontaminate": _q_decontaminate,
@@ -881,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": _q_flagship_extract,
         "extract_status_counts": _q_extract_status_counts,
         "chunker_token_windows": _q_chunker,
+        "chunker_hierarchical": _q_chunker_hierarchical,
         "extract_dedup_exact": _q_extract_dedup_exact,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "export_markdown": _q_export_markdown,
@@ -937,6 +1001,20 @@ _URL_SYNTH_SQL = """
            || '/docs/doc-' || doc_id::varchar || '.'
            || (['html','pdf','txt','exe','jpg'])[(doc_id % 5)::int + 1]
            || '?ref=' || lang as url
+    from documents
+"""
+
+# DuckDB twin of _inject_pii_text() — keep the two in lockstep
+_PII_INJECT_SQL = """
+    select doc_id, text
+      || case when doc_id % 13 = 0
+              then ' contact-' || doc_id::varchar || '@mail.example.org'
+              else '' end
+      || case when doc_id % 17 = 0
+              then ' from 10.0.' || (doc_id % 256)::varchar || '.7'
+              else '' end
+      || case when doc_id % 19 = 0 then ' call +555-123-4567' else '' end
+      as text
     from documents
 """
 
@@ -1501,6 +1579,48 @@ def oracle_sql() -> dict[str, str]:
                    (url_reject_reason is null) as url_ok, url_reject_reason
             from r
         """,
+        "curate_stamp": f"""
+            with u0 as ({_URL_SYNTH_SQL}),
+            x as ({_PII_INJECT_SQL}),
+            u as (
+              select u0.doc_id, u0.url, x.text
+              from u0 join x on u0.doc_id = x.doc_id
+            ),
+            p as (
+              select *,
+                     lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) as scheme,
+                     lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)) as host,
+                     lower(regexp_extract(
+                       regexp_extract(
+                         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '([^/]+)$', 1),
+                       '\\.([A-Za-z0-9]+)$', 1)) as ext
+              from u
+            ),
+            r as (
+              select *, case
+                when url is null or scheme = '' then 'unparseable'
+                when scheme not in ('http', 'https') then 'scheme'
+                when host = 'spamtracker.net' or host like '%.spamtracker.net'
+                  then 'blocked_domain'
+                when ext in ('exe', 'jpg') then 'blocked_extension'
+                else NULL end as url_reject_reason
+              from p
+            )
+            select doc_id, url,
+                   (url_reject_reason is null) as url_ok, url_reject_reason,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}'))::int as n_emails,
+                   len(regexp_extract_all(text, '{_PII_IPV4}'))::int as n_ipv4,
+                   len(regexp_extract_all(text, '{_PII_PHONE}'))::int as n_phones,
+                   ((len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                     + len(regexp_extract_all(text, '{_PII_IPV4}'))
+                     + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0) as has_pii,
+                   ({_NTOK})::int as n_tokens,
+                   round(len(regexp_extract_all(text, '[.,!?;:]'))
+                         / greatest(length(text), 1), 6) as punct_ratio,
+                   {_LANG_ID_EXPR} as lang_pred
+            from r
+        """,
         "url_filter_domains": f"""
             with u as ({_URL_SYNTH_SQL}),
             p as (
@@ -1690,18 +1810,7 @@ def oracle_sql() -> dict[str, str]:
             from f
         """,
         "pii_redact": f"""
-            with x as (
-              select doc_id, text
-                || case when doc_id % 13 = 0
-                        then ' contact-' || doc_id::varchar || '@mail.example.org'
-                        else '' end
-                || case when doc_id % 17 = 0
-                        then ' from 10.0.' || (doc_id % 256)::varchar || '.7'
-                        else '' end
-                || case when doc_id % 19 = 0 then ' call +555-123-4567' else '' end
-                as text
-              from documents
-            )
+            with x as ({_PII_INJECT_SQL})
             select doc_id,
                    len(regexp_extract_all(text, '{_PII_EMAIL}'))::int as n_emails,
                    len(regexp_extract_all(text, '{_PII_IPV4}'))::int as n_ipv4,

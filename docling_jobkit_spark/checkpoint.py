@@ -33,9 +33,14 @@ store the same call maps to ``PutObject`` with ``If-None-Match: *``
 the manifest becomes a snapshot commit and this module shrinks to a
 writer config.
 
-Scale note: manifests hold only group ids + attempt paths (bytes, not
-rows), so at 10^12 documents they stay tiny; the fine-grained anti-join
-is a broadcast of committed *bucket ranges*, never a collect of urls.
+Scale note: manifests hold only group ids + attempt paths + row counts
+(bytes, not rows), so at 10^12 documents they stay tiny. Resume's fine
+grain is COUNT-VERIFIED: each committed group's manifest ``n_rows`` is
+checked against the current page count of that group (one map-side-
+combined agg shuffling a single long per group — never a corpus url
+shuffle). Only when a count mismatches (the page set or grouping changed
+between runs) does resume fall back to the exact ``left_anti`` on url
+against committed results.
 """
 
 from __future__ import annotations
@@ -70,6 +75,16 @@ def _put_if_absent(path: str, payload: bytes) -> bool:
         return False
     finally:
         os.unlink(tmp)
+
+
+def _url_hash_sum() -> F.Column:
+    """Order-insensitive url-set signature: sum of 56-bit sha256-prefix
+    hashes as decimal(38,0) — 10^12 rows × 2^56 ≈ 7×10^28 can't overflow,
+    and any membership change moves the sum with probability 1-2^-56."""
+    h = F.conv(F.substring(F.sha2(F.col("url"), 256), 1, 14), 16, 10).cast(
+        "decimal(28,0)"
+    )
+    return F.sum(h).cast("decimal(38,0)")
 
 
 class CommitLog:
@@ -118,7 +133,25 @@ class CommitLog:
         attempt = uuid.uuid4().hex[:12]
         path = self._attempt_path(gid, attempt)
         results.write.mode("error").parquet(path)
-        return {"gid": gid, "attempt": attempt, "path": path}
+        # group-coverage signature from the written files (one narrow
+        # url-column scan of THIS group's data): row count + order-
+        # insensitive sum of 56-bit url hashes. Recorded in the manifest
+        # so resume can verify coverage membership-exactly WITHOUT a
+        # corpus url anti-join (see remaining_pages). A count alone is
+        # membership-blind: a regrouping that preserves per-group counts
+        # would slip through it.
+        row = (
+            results.sparkSession.read.parquet(path)
+            .agg(F.count("*").alias("n"), _url_hash_sum().alias("s"))
+            .collect()[0]
+        )
+        return {
+            "gid": gid,
+            "attempt": attempt,
+            "path": path,
+            "n_rows": row["n"],
+            "url_sig": str(row["s"]),
+        }
 
     def _publish(self, manifest: dict) -> dict:
         """Phase 2: one conditional manifest PUT = the terminalization.
@@ -164,18 +197,51 @@ class CommitLog:
         """Pages not yet covered by a committed group.
 
         Coarse prune on the group id (no shuffle — a broadcast IN-list of
-        committed gids), then a ``left_anti`` join on url against committed
-        results for exactness across partial groups.
+        committed gids), then a SIGNATURE verification of the fine grain:
+        each committed manifest carries (row count, order-insensitive sum
+        of 56-bit url hashes) and resume recomputes both over the current
+        pages of that group. The verification aggregates two numbers per
+        group (map-side combined — the shuffle payload is ``n_groups``
+        rows regardless of corpus size) and detects ANY membership change
+        with probability 1-2^-56. When every signature matches — the
+        steady state: same page set, same grouping — resume performs
+        ZERO url-level work.
+
+        Only on a mismatch (pages were added/removed, or the grouping
+        function/count changed between runs) does it fall back to the
+        exact ``left_anti`` on url against committed results — applied to
+        ALL pages, not the coarse-pruned remainder, because a changed
+        grouping makes gid membership meaningless. Manifests from older
+        versions without the signature take the fallback too (safe,
+        exact).
         """
         gids = self.committed_groups()
         if not gids:
             return pages
-        remaining = pages.filter(~group_col.isin(sorted(gids)))
+        glist = sorted(gids)
+        expected = {}
+        for g in glist:
+            m = self.read_manifest(g)
+            expected[g] = (
+                None
+                if m is None or "n_rows" not in m or "url_sig" not in m
+                else (m["n_rows"], m["url_sig"])
+            )
+        if all(v is not None for v in expected.values()):
+            actual = {
+                r["gid"]: (r["cnt"], str(r["sig"]))
+                for r in pages.filter(group_col.isin(glist))
+                .groupBy(group_col.alias("gid"))
+                .agg(F.count("*").alias("cnt"), _url_hash_sum().alias("sig"))
+                .collect()
+            }
+            if all(actual.get(g) == expected[g] for g in glist):
+                return pages.filter(~group_col.isin(glist))
         done = self.committed_results(spark)
         if done is None:
-            return remaining
+            return pages.filter(~group_col.isin(glist))
         # AQE picks broadcast vs shuffle for the anti-join based on the
         # actual size of the committed-url set at runtime
-        return remaining.join(
+        return pages.join(
             done.select("url").distinct(), on="url", how="left_anti"
         )

@@ -68,10 +68,22 @@ def chunk_text(
     overlapped spans), ``has_image`` (constant False: the text extractor's
     tokenizer emits no image blocks — images produce no text).
     """
+    parsed = _parse_doc(text, spans)
+    if parsed is None:
+        return []
+    toks, page_starts, headings, all_spans = parsed
+    return _window_loop(
+        text, toks, page_starts, headings, all_spans, max_tokens, overlap
+    )
+
+
+def _parse_doc(text: str, spans: list[dict] | None):
+    """Shared per-doc parse: token offsets, page boundaries, sorted
+    heading/span tuples. Returns None for empty docs."""
     from docling_jobkit_spark.extractor.extract import PAGE_JOIN
 
     if not text:
-        return []
+        return None
     # token offsets (start, end) in document order
     toks: list[tuple[int, int]] = []
     pos = 0
@@ -80,7 +92,7 @@ def chunk_text(
         toks.append((start, start + len(part)))
         pos = start + len(part)
     if not toks:
-        return []
+        return None
 
     # page boundary offsets
     page_starts = [0]
@@ -100,21 +112,39 @@ def chunk_text(
         (int(s["start"]), int(s["end"]), s.get("kind", ""), s.get("path", ""))
         for s in (spans or [])
     )
+    return toks, page_starts, headings, all_spans
 
-    step = max_tokens - overlap
-    chunks = []
-    ci = 0
-    # Linear sweep state (windows advance monotonically in lo and hi, so
-    # per-chunk rescans of spans/pages/headings are unnecessary — this
-    # was the #1 CPU consumer in the round-3 bench at O(chunks × spans)):
-    # - pages/headings: bisect over their sorted start offsets
-    # - spans: an active list; a span enters once when its start drops
-    #   below hi (pointer over start-sorted spans) and leaves permanently
-    #   once its end <= lo (lo is nondecreasing, so no re-entry). Appends
-    #   happen in sorted order and filtering preserves order, so the
-    #   emitted overlapped list is byte-identical to the old rescan.
+
+def _window_loop(
+    text: str,
+    toks: list[tuple[int, int]],
+    page_starts: list[int],
+    headings: list[tuple[int, int, str]],
+    all_spans: list[tuple[int, int, str, str]],
+    max_tokens: int,
+    overlap: int,
+    ci0: int = 0,
+) -> list[dict]:
+    """The token-window sweep over one contiguous token run.
+
+    Linear sweep (windows advance monotonically in lo and hi, so
+    per-chunk rescans of spans/pages/headings are unnecessary — the
+    rescan form was the #1 CPU consumer in the round-3 bench at
+    O(chunks × spans)):
+    - pages/headings: bisect over their sorted start offsets
+    - spans: an active list; a span enters once when its start drops
+      below hi (pointer over start-sorted spans) and leaves permanently
+      once its end <= lo (lo is nondecreasing, so no re-entry). Appends
+      happen in sorted order and filtering preserves order, so the
+      emitted overlapped list is byte-identical to the naive rescan
+      (differential-tested)."""
     from bisect import bisect_right
 
+    if not toks:
+        return []
+    step = max_tokens - overlap
+    chunks = []
+    ci = ci0
     heading_starts = [s for s, _, _ in headings]
     span_ptr = 0
     active: list[tuple[int, int, str, str]] = []
@@ -159,8 +189,61 @@ def chunk_text(
     return chunks
 
 
+def chunk_text_hierarchical(
+    text: str,
+    spans: list[dict] | None,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> list[dict]:
+    """Structure-aware chunking: split the document into SECTIONS at
+    heading-span starts, then token-window each section independently —
+    no window ever crosses a section boundary, so every chunk carries
+    exactly its own section's heading context. The reference's
+    hierarchical chunker analog (``convert/chunking.py:109-199``: split
+    on structure boundaries, then merge/split to the token budget; its
+    hybrid mode = hierarchical + windowing, which is exactly
+    section-split + ``_window_loop``).
+
+    Sections: [0, h1), [h1, h2), ..., [hk, end) for heading starts h1..hk
+    (a preamble before the first heading is its own heading-less
+    section). Chunk indices stay globally sequential; metadata (pages,
+    captions, doc_items) uses global offsets, identical semantics to
+    ``chunk_text``. Windows restart at each boundary — the LAST window of
+    a section may carry fewer than ``max_tokens`` tokens (by design:
+    structure wins over window fill)."""
+    parsed = _parse_doc(text, spans)
+    if parsed is None:
+        return []
+    toks, page_starts, headings, all_spans = parsed
+
+    from bisect import bisect_left
+
+    tok_starts = [s for s, _ in toks]
+    # distinct heading starts define section boundaries
+    bounds = sorted({s for s, _, _ in headings})
+    cut_idxs = [0] + [bisect_left(tok_starts, b) for b in bounds] + [len(toks)]
+    chunks: list[dict] = []
+    for sec_i in range(len(cut_idxs) - 1):
+        t_lo, t_hi = cut_idxs[sec_i], cut_idxs[sec_i + 1]
+        if t_lo >= t_hi:
+            continue
+        chunks.extend(
+            _window_loop(
+                text,
+                toks[t_lo:t_hi],
+                page_starts,
+                headings,
+                all_spans,
+                max_tokens,
+                overlap,
+                ci0=len(chunks),
+            )
+        )
+    return chunks
+
+
 def _chunk_batches(
-    batches: Iterator[pd.DataFrame], max_tokens: int, overlap: int
+    batches: Iterator[pd.DataFrame], max_tokens: int, overlap: int, chunk_fn=chunk_text
 ) -> Iterator[pd.DataFrame]:
     chunk_keys = (
         "chunk_index", "text", "raw_text", "num_tokens", "headings",
@@ -175,7 +258,7 @@ def _chunk_batches(
             if status == "FAILURE":
                 # failure propagation: zero chunks (test_chunking.py:75-101)
                 continue
-            for ch in chunk_text(extracted_text, spans, max_tokens, overlap):
+            for ch in chunk_fn(extracted_text, spans, max_tokens, overlap):
                 out["url"].append(url)
                 for k in chunk_keys:
                     out[k].append(ch[k])
@@ -187,9 +270,17 @@ def _chunk_batches(
 
 
 def chunk_documents(
-    results: DataFrame, max_tokens: int = 64, overlap: int = 8
+    results: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    mode: str = "window",
 ) -> DataFrame:
-    """Extraction results → chunk rows (1→N explode via mapInPandas)."""
+    """Extraction results → chunk rows (1→N explode via mapInPandas).
+
+    ``mode="window"`` is the flat token-window chunker (``chunk_text``);
+    ``mode="hierarchical"`` splits on heading boundaries first
+    (``chunk_text_hierarchical`` — the reference's hierarchical/hybrid
+    chunker analog, ``convert/chunking.py:109-199``)."""
     if overlap >= max_tokens:
         # fail eagerly at plan time: a step <= 0 would otherwise surface
         # as a TASK failure inside the UDF, against the failures-are-rows
@@ -197,9 +288,16 @@ def chunk_documents(
         raise ValueError(
             f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
         )
+    try:
+        chunk_fn = {"window": chunk_text, "hierarchical": chunk_text_hierarchical}[
+            mode
+        ]
+    except KeyError:
+        raise ValueError(f"unknown chunking mode {mode!r}") from None
     cols = results.select("url", "status", "extracted_text", "spans")
     return cols.mapInPandas(
-        lambda it: _chunk_batches(it, max_tokens, overlap), schema=CHUNK_SCHEMA
+        lambda it: _chunk_batches(it, max_tokens, overlap, chunk_fn),
+        schema=CHUNK_SCHEMA,
     )
 
 

@@ -113,16 +113,25 @@ def write_training_shards(
     text_col: str = "extracted_text",
     meta_cols: tuple[str, ...] = ("url", "content_hash"),
     max_records_per_file: int = 50_000,
+    max_shard_bytes: int | None = None,
     compression: str = "gzip",
     mode: str = "overwrite",
 ) -> None:
     """Emit the curated corpus as size-capped JSONL shards — the
     interchange format LLM-pretraining loaders consume (one JSON object
-    per line: {"text": ..., <meta>}). The same record-cap discipline as
-    write_results bounds shard bytes; compression is per-file, so shards
+    per line: {"text": ..., <meta>}). Compression is per-file, so shards
     stay independently readable and the write remains one narrow
     projection with zero shuffles (partitioning-preserving: upstream
     bucketing/salting carries straight through to shard boundaries).
+
+    Sizing: training shards are usually BYTE-capped, not record-capped —
+    pass ``max_shard_bytes`` (uncompressed JSONL bytes) and the record
+    cap is derived from the mean serialized record size of a bounded
+    1024-row sample (driver-side, like the IVF codebook sample — never a
+    corpus scan). Record sizes within one corpus are admission-bounded,
+    so mean-based derivation holds; heavy-tailed inputs should keep an
+    explicit ``max_records_per_file`` instead. When ``max_shard_bytes``
+    is None the plain record cap applies unchanged.
 
     Columns are projected and renamed here (text_col -> "text") so the
     on-disk schema is loader-shaped regardless of the pipeline's column
@@ -130,9 +139,19 @@ def write_training_shards(
     from pyspark.sql import functions as F
 
     cols = [F.col(text_col).alias("text")] + [F.col(c) for c in meta_cols]
+    out = df.select(*cols)
+    if max_shard_bytes is not None:
+        # +1 for the newline the JSONL writer appends per record
+        mean_bytes = (
+            out.limit(1024)
+            .select((F.length(F.to_json(F.struct("*"))) + 1).alias("b"))
+            .agg(F.avg("b"))
+            .collect()[0][0]
+        )
+        if mean_bytes:
+            max_records_per_file = max(1, int(max_shard_bytes // mean_bytes))
     (
-        df.select(*cols)
-        .write.mode(mode)
+        out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .option("compression", compression)
         .json(path)

@@ -149,6 +149,49 @@ def test_remaining_pages_prunes_committed_groups(spark, tmp_path):
     assert got == {f"u{i}" for i in range(20) if i % 4 != 2}
 
 
+def test_remaining_pages_steady_state_has_no_url_join(spark, tmp_path):
+    """When counts verify (same page set, same grouping), resume must do
+    ZERO url-level work: the plan is a filter over the pages scan with
+    no join anywhere — the 10^12-committed-urls resume cost is a tiny
+    per-group count agg, never a corpus url shuffle."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(str(tmp_path / "o"))
+    pages = spark.createDataFrame(
+        [(f"u{i}", i % 4) for i in range(20)], "url string, g int"
+    )
+    done = pages.filter("g = 2").select("url", F.lit("t").alias("extracted_text"))
+    m = log.commit_group(2, done)
+    assert m["n_rows"] == 5  # manifest carries the group row count
+    remaining = log.remaining_pages(spark, pages, F.col("g"))
+    plan = remaining._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "steady-state resume must not join on urls"
+    assert remaining.count() == 15
+
+
+def test_remaining_pages_falls_back_to_exact_url_join_on_regroup(spark, tmp_path):
+    """If the grouping changed between runs (count mismatch), resume
+    falls back to the exact url anti-join over ALL pages — pages whose
+    url was committed are excluded regardless of their new gid, and
+    uncommitted pages that now collide with a committed gid are KEPT
+    (the coarse prune alone would wrongly drop them)."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(str(tmp_path / "o"))
+    pages = spark.createDataFrame(
+        [(f"u{i}", i % 4) for i in range(20)], "url string, g int"
+    )
+    done = pages.filter("g = 2").select("url", F.lit("t").alias("extracted_text"))
+    log.commit_group(2, done)
+    # new run groups differently: g2 = (i+1) % 4
+    regrouped = pages.withColumn("g2", (F.col("g") + 1) % 4)
+    remaining = log.remaining_pages(spark, regrouped, F.col("g2"))
+    got = {r["url"] for r in remaining.collect()}
+    # exactly the uncommitted urls survive — including u1,u5,... whose
+    # NEW gid is 2 (committed) but whose url never was
+    assert got == {f"u{i}" for i in range(20) if i % 4 != 2}
+
+
 def test_sink_manifest_refreshes_after_overwrite(spark, tmp_path):
     """A manifest sealed for run 1 must be REPLACED, not returned, when
     the results were re-written with mode=overwrite: the old manifest
@@ -204,3 +247,45 @@ def test_training_shards_round_trip(spark, tmp_path):
 
     files = glob.glob(f"{out}/part-*.json.gz")
     assert len(files) >= 3  # 10 rows / cap 4 -> >= 3 shards, gzip per file
+
+
+def test_training_shards_byte_cap_adapts_to_record_size(spark, tmp_path):
+    """max_shard_bytes derives the record cap from mean record size: the
+    same byte budget yields FEWER records per shard for fat records and
+    MORE for thin ones, and uncompressed shard files respect the budget
+    (within one record of slack)."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_training_shards
+
+    def mk(text_len: int):
+        return (
+            spark.range(40)
+            .select(
+                F.rpad(F.col("id").cast("string"), text_len, "x").alias(
+                    "extracted_text"
+                ),
+                F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+                F.lit("h").alias("content_hash"),
+            )
+            .coalesce(1)
+        )
+
+    budget = 4000
+    n_files = {}
+    for label, tlen in (("thin", 50), ("fat", 800)):
+        out = str(tmp_path / label)
+        write_training_shards(
+            mk(tlen), out, max_shard_bytes=budget, compression="none"
+        )
+        files = glob.glob(f"{out}/part-*.json")
+        n_files[label] = len(files)
+        assert spark.read.json(out).count() == 40
+        for f in files:
+            # one-record slack: maxRecordsPerFile caps records, and the
+            # derivation floors the budget by the mean record size
+            assert _os.path.getsize(f) <= budget + tlen + 200, f
+    assert n_files["fat"] > n_files["thin"] >= 1

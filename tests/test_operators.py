@@ -231,6 +231,87 @@ def test_chunk_text_sweep_matches_naive_rescan():
         )
 
 
+def test_chunk_text_hierarchical_respects_section_boundaries():
+    """Hierarchical mode: no window crosses a heading boundary, every
+    chunk carries exactly its own section's heading, and indices stay
+    globally sequential."""
+    from docling_jobkit_spark.operators.chunker import (
+        chunk_text,
+        chunk_text_hierarchical,
+    )
+
+    pre = " ".join(f"p{i}" for i in range(10))
+    # 10 preamble + 2 heading + 19 body = 31 tokens before s2 — NOT a
+    # multiple of the window, so flat mode must straddle the boundary
+    s1 = "Alpha Section " + " ".join(f"a{i}" for i in range(19))
+    s2 = "Beta Section " + " ".join(f"b{i}" for i in range(5))
+    text = pre + " " + s1 + " " + s2
+    h1 = text.index("Alpha Section")
+    h2 = text.index("Beta Section")
+    spans = [
+        {"start": h1, "end": h1 + len("Alpha Section"), "kind": "heading",
+         "path": "h1"},
+        {"start": h2, "end": h2 + len("Beta Section"), "kind": "heading",
+         "path": "h2"},
+    ]
+    chunks = chunk_text_hierarchical(text, spans, max_tokens=8, overlap=0)
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    for c in chunks:
+        raw = c["raw_text"]
+        # a chunk never straddles a section boundary: it either starts at
+        # or after a heading and stays inside that section, or lies fully
+        # in the preamble
+        in_pre = text.index(raw) < h1
+        in_s1 = h1 <= text.index(raw) < h2
+        assert in_pre or in_s1 or text.index(raw) >= h2
+        if in_pre:
+            assert text.index(raw) + len(raw) <= h1, "window crossed into s1"
+            assert c["headings"] == []
+        elif in_s1:
+            assert text.index(raw) + len(raw) <= h2, "window crossed into s2"
+            assert c["headings"] == ["Alpha Section"]
+        else:
+            assert c["headings"] == ["Beta Section"]
+    # full token coverage (windows restart per section, nothing dropped)
+    seen = set()
+    for c in chunks:
+        seen.update(c["raw_text"].split())
+    assert seen == set(text.split())
+    # flat mode DOES cross the boundary for the same input (the modes
+    # genuinely differ)
+    flat = chunk_text(text, spans, max_tokens=8, overlap=0)
+    crossing = [
+        c for c in flat
+        if text.index(c["raw_text"]) < h2
+        and text.index(c["raw_text"]) + len(c["raw_text"]) > h2
+    ]
+    assert crossing, "flat windowing should straddle the heading boundary"
+
+
+def test_chunk_documents_hierarchical_mode(spark):
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+
+    rows = [
+        (
+            "u1",
+            "SUCCESS",
+            "Head One " + " ".join(f"w{i}" for i in range(30)),
+            [{"start": 0, "end": 8, "kind": "heading", "path": "h"}],
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, status string, extracted_text string, "
+        "spans array<struct<start:long,end:long,kind:string,path:string>>",
+    )
+    out = chunk_documents(df, max_tokens=8, overlap=0, mode="hierarchical").collect()
+    assert out and all(r["headings"] == ["Head One"] for r in out[1:])
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown chunking mode"):
+        chunk_documents(df, mode="nope")
+
+
 def test_chunker_failure_propagation(spark):
     from docling_jobkit_spark.operators.chunker import chunk_documents
 
