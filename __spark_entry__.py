@@ -653,6 +653,30 @@ def _q_curate_stamp(spark, sf_dir):
     )
 
 
+def _q_training_shards_roundtrip(spark, sf_dir):
+    """Training-shard sink made driver-visible: write the documents table
+    through write_training_shards (byte-capped gzip JSONL — the
+    pretraining-loader interchange format) and read the shards back. The
+    roundtrip is value-exact, so the oracle is simply the source
+    projection: any serialization defect (escaping, encoding, column
+    renames) breaks the hash match."""
+    import tempfile
+
+    from docling_jobkit_spark.sinks import write_training_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="djs_shards_")
+    write_training_shards(
+        docs,
+        out,
+        text_col="text",
+        meta_cols=("doc_id",),
+        max_shard_bytes=256 * 1024,
+    )
+    back = spark.read.json(out)
+    return back.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 def _q_url_filter_domains(spark, sf_dir):
     """Blocklist-TABLE domain filter: distinct hosts -> suffix explode ->
     broadcast semi-join -> broadcast flag-back (the UT1-scale shape)."""
@@ -940,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii,
         "gopher_filter": _q_gopher_filter,
         "minhash_clusters": _q_minhash_clusters,
+        "training_shards_roundtrip": _q_training_shards_roundtrip,
         # -- rows-only (extractor-bound or iterative; pytest-pinned) ----
         "flagship_extract": _q_flagship_extract,
         "extract_status_counts": _q_extract_status_counts,
@@ -1621,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
                    {_LANG_ID_EXPR} as lang_pred
             from r
         """,
+        "training_shards_roundtrip": "select doc_id, text from documents",
         "url_filter_domains": f"""
             with u as ({_URL_SYNTH_SQL}),
             p as (

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
-REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+# 3 runs: run1 pays codegen/JIT; run2 can still absorb the tail of run1's
+# ASYNC C2 compilation (measured: a warm 0.8 s simhash run charged 50
+# CPU-s of background JIT); run3 is reliably steady-state. CPU figure =
+# min over warm runs (best_of), wall = min over all runs.
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 
 def _sf_of(path: str) -> float:
@@ -131,22 +135,33 @@ def main() -> None:
     cpu_timings: dict[str, float] = {}
 
     def best_of(n: int, fn) -> tuple[float, float]:
-        """(min wall, min CPU) over n runs — min-wall is standard benching
-        practice on a host whose capacity drifts up to 3x (BENCH.md); the
-        first run additionally pays JIT/codegen for the query's
-        expressions. The CPU-seconds minimum is the noise-immune twin
-        (see _tree_cpu_stats + _cpu_delta)."""
+        """(min wall, steady-state CPU) over n runs — min-wall is standard
+        benching practice on a host whose capacity drifts up to 3x
+        (BENCH.md). The CPU-seconds figure is the noise-immune twin (see
+        _tree_cpu_stats + _cpu_delta) and must measure the STEADY-STATE
+        plan, so it prefers warm samples: the first run pays 5-40 CPU-s of
+        Janino codegen/JIT on the interpreted higher-order-function family
+        (measured: simhash_pairs 37 cold vs 14 warm), and a clamped-to-
+        zero warm sample (window lost accounting to an orphaned worker)
+        must not silently fall back to the cold value — the round-3
+        artifact reported 62 CPU-s for simhash_pairs that way. Up to 2
+        extra runs are spent to obtain at least one positive warm
+        sample."""
         best = float("inf")
         cpu_samples: list[float] = []
-        for _ in range(n):
+        max_runs = n + 2
+        while len(cpu_samples) < n or (
+            len(cpu_samples) < max_runs
+            and not any(s > 0 for s in cpu_samples[1:])
+        ):
             c0 = _tree_cpu_stats()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
             cpu_samples.append(_cpu_delta(c0, _tree_cpu_stats()))
-        # a clamped-to-zero sample means that window lost CPU accounting
-        # (orphaned worker) — prefer the smallest POSITIVE sample so one
-        # corrupted window can't report a free query
+        warm = [s for s in cpu_samples[1:] if s > 0]
+        if warm:
+            return best, min(warm)
         positive = [s for s in cpu_samples if s > 0]
         return best, (min(positive) if positive else 0.0)
 
@@ -199,6 +214,9 @@ def main() -> None:
         "uri_parts",
         "multimodal_meta",
         "chunker_token_windows",
+        "chunker_hierarchical",
+        "curate_stamp",
+        "training_shards_roundtrip",
         "url_filter",
         "url_filter_domains",
         "repetition_signals",
