@@ -236,3 +236,14 @@ def test_spread_for_compute_skips_already_spread_plans(spark, sf_dir):
     small = docs.repartition(1)
     plan = _plan(spread_for_compute(small))
     assert f"RoundRobinPartitioning({target}" in plan
+
+
+def test_curate_stamp_is_scan_fused(spark, sf_dir):
+    """The batch twin of the streaming curation stamp must stay a pure
+    projection: one scan, zero exchanges — the whole stamp fuses into
+    the scan stage at any corpus size."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["curate_stamp"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
