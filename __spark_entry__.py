@@ -86,8 +86,12 @@ def _q_chunker_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sections split at heading spans, then token-windowed per section
     (the reference's hierarchical/hybrid chunker analog,
     ``convert/chunking.py:109-199``). Rows-only: the section logic runs
-    on extractor output (spans), not SQL-expressible; structure semantics
-    are pinned by test_chunk_text_hierarchical_respects_section_boundaries."""
+    on extractor output (spans), not SQL-expressible. NOTE: the synthetic
+    corpus emits exactly one heading per doc at offset 0, where
+    hierarchical degenerates to flat windowing by definition (a boundary
+    at token 0 opens the only section) — the non-degenerate mid-document
+    split semantics are pinned by
+    test_chunk_text_hierarchical_respects_section_boundaries."""
     from docling_jobkit_spark.operators.chunker import chunk_documents
     from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
     from docling_jobkit_spark.sources.readers import pages_from_documents

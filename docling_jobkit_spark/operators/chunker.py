@@ -20,6 +20,7 @@ Two Spark-first forms:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_TOKEN_RE = re.compile(r"\S+")
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -84,13 +87,14 @@ def _parse_doc(text: str, spans: list[dict] | None):
 
     if not text:
         return None
-    # token offsets (start, end) in document order
-    toks: list[tuple[int, int]] = []
-    pos = 0
-    for part in text.split():
-        start = text.index(part, pos)
-        toks.append((start, start + len(part)))
-        pos = start + len(part)
+    # token offsets (start, end) in document order. \S+ matches exactly
+    # str.split()'s tokens (Python re \s is Unicode-aware incl. the
+    # \x1c-\x1f file separators — verified), ~3x faster than the
+    # split+index scan this replaces (profiled as the post-linearization
+    # hot spot).
+    toks: list[tuple[int, int]] = [
+        m.span() for m in _TOKEN_RE.finditer(text)
+    ]
     if not toks:
         return None
 
