@@ -85,3 +85,50 @@ def test_token_window_count_formula(n: int, max_tokens: int, overlap: int):
             break
     formula = (max(n - max_tokens, 0) + step - 1) // step + 1
     assert formula == emitted
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    seps=st.lists(
+        st.sampled_from([" ", "  ", "\t", "\n", " ", " ", "\x1c", "\f"]),
+        min_size=0,
+        max_size=120,
+    ),
+    max_tokens=st.integers(min_value=2, max_value=32),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_chunk_text_invariants(words, seps, max_tokens, overlap):
+    """chunk_text structural invariants under arbitrary Unicode tokens
+    and whitespace (incl. the \\x1c class where str.split() and re \\S
+    semantics could diverge): indices sequential, token counts exact,
+    every split() token covered in order, raw windows are exact
+    substrings at the token offsets, and total chunk count matches the
+    window formula."""
+    if overlap >= max_tokens:
+        return
+    from docling_jobkit_spark.operators.chunker import chunk_text
+
+    text = "".join(w + s for w, s in zip(words, seps + [" "] * len(words)))
+    toks = text.split()
+    chunks = chunk_text(text, [], max_tokens=max_tokens, overlap=overlap)
+    if not toks:
+        assert chunks == []
+        return
+    step = max_tokens - overlap
+    formula = (max(len(toks) - max_tokens, 0) + step - 1) // step + 1
+    assert len(chunks) == formula
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    for i, c in enumerate(chunks):
+        want = toks[i * step : i * step + max_tokens]
+        assert c["num_tokens"] == len(want)
+        assert c["raw_text"].split() == want
+        assert c["text"] == c["raw_text"]  # no spans -> no contextualization
