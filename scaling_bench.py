@@ -50,6 +50,7 @@ import json
 import os
 import subprocess
 import sys
+import time as _time
 
 CORPUS_ROOT = "/tmp/djs_scale_corpus"
 
@@ -219,6 +220,14 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--no-pin", action="store_true")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument(
+        "--wait-clean", type=float, default=0.0, metavar="SECONDS",
+        help="before each round, re-probe the host control for up to this "
+        "many seconds until it reads >= 0.85 (clean window) — lets a long "
+        "hands-off campaign harvest the minutes-long clean windows this "
+        "host grants instead of burning rounds into degradation; 0 = "
+        "probe once and run regardless (old behavior)",
+    )
     args = ap.parse_args()
 
     corpus_dir = prepare_corpus(args.base_pages, args.shards)
@@ -230,6 +239,10 @@ def main() -> None:
     lo = hi = None
     for r in range(args.rounds):
         ctrl = host_control_eff(lo_c, hi_c)
+        deadline = _time.monotonic() + args.wait_clean
+        while ctrl < 0.85 and _time.monotonic() < deadline:
+            _time.sleep(45)
+            ctrl = host_control_eff(lo_c, hi_c)
         lo = run_level(lo_c, corpus_dir, args.replicate, pin=not args.no_pin)
         hi = run_level(hi_c, corpus_dir, args.replicate, pin=not args.no_pin)
         rounds.append(
