@@ -149,7 +149,9 @@ def main() -> None:
         sample."""
         best = float("inf")
         cpu_samples: list[float] = []
-        max_runs = n + 2
+        # n == 1 is the explicit smoke mode: one run, cold sample, no
+        # warm-seeking retries
+        max_runs = n + 2 if n > 1 else 1
         while len(cpu_samples) < n or (
             len(cpu_samples) < max_runs
             and not any(s > 0 for s in cpu_samples[1:])
