@@ -664,12 +664,18 @@ def _q_training_shards_roundtrip(spark, sf_dir):
     roundtrip is value-exact, so the oracle is simply the source
     projection: any serialization defect (escaping, encoding, column
     renames) breaks the hash match."""
+    import os
     import tempfile
 
     from docling_jobkit_spark.sinks import write_training_shards
 
     docs = _read(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="djs_shards_")
+    # fixed per-sf path + mode=overwrite (idempotent): repeated bench/
+    # driver invocations must not accumulate tempdirs
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_shards_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     write_training_shards(
         docs,
         out,
