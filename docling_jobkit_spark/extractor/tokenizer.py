@@ -93,7 +93,11 @@ def decode_entities(s: str) -> str:
 
 
 def collapse_ws(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # " ".join(s.split()) is byte-identical to _WS_RE.sub(" ", s).strip()
+    # (str.split and re \s share the Unicode whitespace set — verified on
+    # randomized strings incl. \xa0/\x1c) and ~4x faster; _WS_RE is kept
+    # as the documented definition.
+    return " ".join(s.split())
 
 
 # --- block model -----------------------------------------------------------
@@ -199,11 +203,16 @@ def tokenize_blocks(html: str) -> list[Block]:
                 i += 1
             continue
 
-        m = _COMMENT_RE.match(html, i)
-        if m:
-            i = m.end()
-            continue
+        # Tag first (the common case): no overlap with comments/doctype —
+        # _TAG_RE requires a letter after "<" or "</", both "<!--" and
+        # "<!" forms need "!". Comment stays BEFORE doctype (a comment
+        # containing ">" must not be cut short by the doctype rule).
         m = _TAG_RE.match(html, i)
+        if m is None:
+            m = _COMMENT_RE.match(html, i)
+            if m:
+                i = m.end()
+                continue
         if m:
             closing, tag, _attrs, selfclose = m.groups()
             tag = tag.lower()
