@@ -847,6 +847,30 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=5, n_probe=2)
 
 
+def _q_ivf_presigned_topk(spark, sf_dir):
+    """THE at-scale IVF plan (the IVF twin of ann_presigned_topk): cell
+    assignments materialized ONCE (with_ivf_cells — at 100 TB this is
+    the write-time layout, partitionBy("ivf_cell"), so a query's probed
+    cells prune at the file listing and nothing else is opened), then
+    the query is an IN-list on the STORED cell column + exact re-rank.
+    Codebook identity rides as column metadata; a mismatched-codebook
+    probe raises instead of silently searching the wrong cells.
+    ``ivf_topk`` remains the scan-form baseline (quantizes per query).
+    Partition pruning is plan-pinned in test_plans."""
+    from docling_jobkit_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk_presigned,
+        with_ivf_cells,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, k=8)
+    assigned = with_ivf_cells(emb, cents)
+    return ivf_topk_presigned(
+        assigned, _query_vec(spark, sf_dir), cents, k=5, n_probe=2
+    )
+
+
 def _q_join_orders_customer(spark, sf_dir):
     """Broadcast dim join: orders ⋈ customer with per-segment rollup.
     (The reference has no general joins — SURVEY §2.8 — but a complete
@@ -959,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "rolling_hash": _q_rolling_hash,
         "ivf_topk": _q_ivf_topk,
+        "ivf_presigned_topk": _q_ivf_presigned_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_lsh_multi": _q_embedding_near_dup_lsh_multi,
@@ -1556,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_presigned_topk": _ann_presigned_oracle_sql(),
         "ivf_topk": _IVF_ORACLE_SQL,
+        # the presigned layout returns the SAME answer — it changes WHERE
+        # the assignment is computed (write time vs query time), not what
+        "ivf_presigned_topk": _IVF_ORACLE_SQL,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
         "embedding_near_dup_lsh_multi": _embedding_lsh_multi_oracle_sql(),
         "token_window_chunks": _TOKEN_WINDOW_ORACLE_SQL,

@@ -203,6 +203,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_presigned_topk",
         "ivf_topk",
+        "ivf_presigned_topk",
         "ivf_kmeans_topk",
         "embedding_near_dup",
         "embedding_near_dup_lsh",

@@ -376,11 +376,106 @@ def ivf_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return dot / (na * nb) if na and nb else -2.0
 
-    probe = sorted(
+    probe = probe_cells(query_vec, centroids, n_probe)
+    assigned = ivf_assign(df, centroids, vec_col)
+    return brute_force_topk(
+        assigned.filter(F.col("ivf_cell").isin(probe)), query_vec, k, vec_col, id_col
+    )
+
+
+def probe_cells(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The n_probe cells nearest to the query (rounded cosine, lowest
+    cell wins ties) — the driver-side twin of ivf_assign's tie rule."""
+    import math
+
+    def py_cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -2.0
+
+    return sorted(
         range(len(centroids)),
         key=lambda i: (-round(py_cos(query_vec, centroids[i]), 6), i),
     )[:n_probe]
+
+
+def codebook_id(centroids: list[list[float]]) -> str:
+    """Deterministic identity of a codebook: sha256 over the rounded
+    coordinate grid. Stamped into the materialized cell column's
+    metadata so a probe against the WRONG codebook fails loudly instead
+    of silently searching the wrong cells."""
+    import hashlib
+
+    payload = repr([[round(float(x), 6) for x in c] for c in centroids])
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF assignment ONCE as a layout column — the IVF
+    twin of ``with_ann_signatures``: at scale the result is written
+    ``partitionBy("ivf_cell")`` so every query reads ONLY its probed
+    cells' files (partition pruning at the source listing, nothing else
+    is even opened). The codebook size and identity ride as column
+    metadata (Spark persists field metadata through parquet writes), so
+    ``ivf_topk_presigned`` can refuse a mismatched codebook. The stamp
+    rides on BOTH ``ivf_cell`` and the vector column: a
+    ``partitionBy("ivf_cell")`` layout directory-encodes the cell column
+    and drops its metadata on read-back, but the vector data column
+    keeps it."""
+    meta = {"ivf_k": len(centroids), "ivf_codebook": codebook_id(centroids)}
     assigned = ivf_assign(df, centroids, vec_col)
+    return assigned.withColumn(
+        "ivf_cell", F.col("ivf_cell").alias("ivf_cell", metadata=meta)
+    ).withColumn(vec_col, F.col(vec_col).alias(vec_col, metadata=meta))
+
+
+def ivf_topk_presigned(
+    assigned: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over a table produced by ``with_ivf_cells`` (read back
+    from its partitioned layout): candidates = IN-list on the STORED
+    cell column — partition-prunable — then exact cosine re-rank. Zero
+    assignment recomputation per query; ``ivf_topk`` remains the
+    scan-form baseline that quantizes on the fly.
+
+    Raises if the stored cell column is missing or was materialized with
+    a different codebook (size or content) — a silent mismatch would
+    probe the wrong cells and return plausible-but-wrong neighbors."""
+    fields = {f.name: f for f in assigned.schema.fields}
+    if "ivf_cell" not in fields:
+        raise ValueError("ivf_cell missing: run with_ivf_cells first")
+    # metadata lives on the cell column in-plan, and on the vector column
+    # after a partitionBy("ivf_cell") round-trip (partition columns drop
+    # field metadata)
+    vec_field = fields.get(vec_col)
+    meta = dict(vec_field.metadata or {}) if vec_field is not None else {}
+    meta.update(fields["ivf_cell"].metadata or {})
+    stored_k = meta.get("ivf_k")
+    stored_cb = meta.get("ivf_codebook")
+    if stored_k is not None and stored_k != len(centroids):
+        raise ValueError(
+            f"table was materialized with k={stored_k}, probe uses "
+            f"k={len(centroids)} centroids — cells would not correspond"
+        )
+    if stored_cb is not None and stored_cb != codebook_id(centroids):
+        raise ValueError(
+            "table was materialized with a different codebook — probed "
+            "cell ids would not correspond to these centroids"
+        )
+    probe = probe_cells(query_vec, centroids, n_probe)
     return brute_force_topk(
         assigned.filter(F.col("ivf_cell").isin(probe)), query_vec, k, vec_col, id_col
     )

@@ -247,3 +247,63 @@ def test_curate_stamp_is_scan_fused(spark, sf_dir):
     plan = _plan(e.queries()["curate_stamp"](spark, sf_dir))
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_ivf_presigned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The at-scale IVF layout: assignments materialized once and written
+    partitionBy(ivf_cell); a probe's IN-list reaches the scan as a
+    PartitionFilter, so only the probed cells' files are listed/opened —
+    and the answer is row-identical to the scan-form ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+        ivf_topk_presigned,
+        probe_cells,
+        with_ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, k=8)
+    layout = str(tmp_path / "ivf_cells")
+    with_ivf_cells(emb, cents).write.partitionBy("ivf_cell").parquet(layout)
+
+    stored = spark.read.parquet(layout)
+    q = [float(i % 7 - 3) / 4.0 for i in range(64)]
+    top = ivf_topk_presigned(stored, q, cents, k=5, n_probe=2)
+    plan = _plan(top)
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    cell_filters = [p for p in pf if "ivf_cell" in p]
+    assert cell_filters, f"no ivf_cell partition filter: {pf}"
+    # the filter carries exactly the probed cells (inputFiles() would
+    # list the relation's PRE-pruning files, so assert on the filter)
+    probes = set(probe_cells(q, cents, 2))
+    in_cells = {int(x) for x in _re.findall(r"-?\d+", cell_filters[0].split("IN")[-1])}
+    assert in_cells == probes, f"filter cells {in_cells} != probes {probes}"
+    # answer identical to the scan-form baseline
+    scan_form = [tuple(r) for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect()]
+    presigned = [tuple(r) for r in top.collect()]
+    assert presigned == scan_form
+
+
+def test_ivf_presigned_rejects_mismatched_codebook(spark, sf_dir):
+    from docling_jobkit_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk_presigned,
+        with_ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, k=8)
+    assigned = with_ivf_cells(emb, cents)
+    q = [0.1] * 64
+    other = [[x + 1.0 for x in c] for c in cents]
+    with pytest.raises(ValueError, match="different codebook"):
+        ivf_topk_presigned(assigned, q, other, k=5, n_probe=2)
+    with pytest.raises(ValueError, match="k=8"):
+        ivf_topk_presigned(assigned, q, cents[:4], k=5, n_probe=2)
+    with pytest.raises(ValueError, match="ivf_cell missing"):
+        ivf_topk_presigned(emb, q, cents, k=5, n_probe=2)
