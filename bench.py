@@ -281,6 +281,22 @@ def _recorded_scaling() -> dict:
     return {}
 
 
+def _extract_result_line(text: str) -> str | None:
+    """Last line of ``text`` that parses as the bench result JSON (has a
+    "metric" key) — everything else (Spark logs, progress bars, daemon
+    teardown tracebacks interleaved on the merged stream) is discarded.
+    Unit-tested: tests/test_entry_contract.py."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                if json.loads(line).get("metric"):
+                    return line
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
 def _run_as_filtering_wrapper() -> int:
     """Re-exec the bench in a child process with BOTH streams captured,
     then print exactly one line — the result JSON — on the real stdout.
@@ -302,16 +318,7 @@ def _run_as_filtering_wrapper() -> int:
         stderr=subprocess.STDOUT,
         text=True,
     )
-    result_line = None
-    for line in reversed(proc.stdout.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                if json.loads(line).get("metric"):
-                    result_line = line
-                    break
-            except json.JSONDecodeError:
-                continue
+    result_line = _extract_result_line(proc.stdout)
     if result_line is None:
         sys.stderr.write(proc.stdout[-4000:])
         sys.stderr.write("\nbench child produced no result JSON line\n")

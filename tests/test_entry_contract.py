@@ -48,3 +48,30 @@ def test_oracle_sql_uses_registered_tables_only():
         froms = set(re.findall(r"(?:from|join)\s+([a-z_]+)", sql, re.I))
         unknown = froms - tables - ctes
         assert not unknown, f"{name}: unknown tables {unknown}"
+
+
+def test_bench_wrapper_extracts_result_line_from_noisy_output():
+    """The round-3 driver artifact was lost to daemon teardown tracebacks
+    burying the JSON line; the wrapper must recover the result from an
+    arbitrarily noisy merged stream — including tracebacks AFTER it —
+    and return None (not garbage) when there is none."""
+    import json
+
+    from bench import _extract_result_line
+
+    result = json.dumps({"metric": "total_headline_seconds", "value": 1.0})
+    noisy = "\n".join(
+        [
+            "WARN NativeCodeLoader: ...",
+            '{"not": "the result"}',
+            "[Stage 12:=====>   (9 + 1) / 10]",
+            result,
+            "Traceback (most recent call last):",
+            '  File "pyspark/daemon.py", line 87, in worker',
+            "BrokenPipeError: [Errno 32] Broken pipe",
+            "{broken json",
+        ]
+    )
+    assert _extract_result_line(noisy) == result
+    assert _extract_result_line("no json here\nat all\n") is None
+    assert _extract_result_line("") is None
