@@ -107,6 +107,40 @@ def write_manifest(spark: SparkSession, results_path: str, manifest_path: str) -
     return manifest
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table layout — the CO-LOCATED JOIN strategy for repeated
+    big⋈big joins at corpus scale: two tables bucketed by the same key
+    into the same bucket count join with ZERO exchanges on either side
+    (Spark's native parquet bucketing satisfies the join's required
+    hash distribution at read time; adding ``sort_col`` = the join key
+    also removes the per-task sort for sort-merge joins).
+
+    Where it matters at 100 TB: the results table joined repeatedly
+    against chunks / embeddings / per-doc signals on the doc key — a
+    shuffle of the corpus per join otherwise, a metadata property of the
+    layout with bucketing. One-shot joins should prefer broadcast (small
+    side) or a plain shuffle; bucketing pays off when the SAME key joins
+    recur. Plan-pinned: tests/test_plans.py asserts a bucketed self-key
+    join plans with no Exchange.
+
+    Uses ``saveAsTable`` (bucket metadata lives in the catalog; plain
+    ``.parquet(path)`` cannot carry it). Reference K3's artifact layout
+    is the directory analog (``partitionBy``); bucketing is the join-
+    locality analog the reference never needed (it has no joins —
+    SURVEY §2.8)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

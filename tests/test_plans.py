@@ -307,3 +307,36 @@ def test_ivf_presigned_rejects_mismatched_codebook(spark, sf_dir):
         ivf_topk_presigned(assigned, q, cents[:4], k=5, n_probe=2)
     with pytest.raises(ValueError, match="ivf_cell missing"):
         ivf_topk_presigned(emb, q, cents, k=5, n_probe=2)
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: two tables bucketed by the same key into the
+    same bucket count must join with ZERO exchanges (and, with sortBy on
+    the key, zero per-task sorts) — the repeated big-big join layout at
+    corpus scale. Also pins the negative: the same join over plain
+    parquet shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.sinks import write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = docs.select("doc_id", F.length("text").alias("n_chars_f"))
+        write_bucketed(docs.select("doc_id", "lang"), "bkt_docs", "doc_id", 4,
+                       sort_col="doc_id")
+        write_bucketed(feats, "bkt_feats", "doc_id", 4, sort_col="doc_id")
+        joined = spark.table("bkt_docs").join(spark.table("bkt_feats"), "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed co-located join must not shuffle"
+        assert joined.count() == docs.count()
+
+        # negative control: plain parquet layout shuffles
+        plain = docs.select("doc_id", "lang").join(feats, "doc_id")
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("drop table if exists bkt_docs")
+        spark.sql("drop table if exists bkt_feats")
