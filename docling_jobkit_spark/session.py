@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime skew mitigation for the join families (AQE splits an
+        # oversized shuffle partition into parallel sub-joins): crawl
+        # corpora are Zipfian in host/template keys, so the dedup/
+        # frequency joins hit skewed keys at scale. Static salting
+        # (partitioning.salted_repartition) remains the write-time tool;
+        # this is the runtime backstop.
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -159,3 +159,11 @@ def test_presigned_ann_rejects_mismatched_bits(spark):
         ann_topk_presigned(signed, q, n_bits=8, n_tables=2)
     with _pytest.raises(ValueError, match="sig_2 missing"):
         ann_topk_presigned(signed, q, n_bits=10, n_tables=4)
+
+
+def test_session_enables_aqe_skew_join(spark):
+    """The runtime skew backstop must be on: crawl corpora are Zipfian
+    in host/template keys, and the dedup/frequency joins would otherwise
+    serialize on one oversized shuffle partition at scale."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
