@@ -86,17 +86,18 @@ def _q_chunker_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sections split at heading spans, then token-windowed per section
     (the reference's hierarchical/hybrid chunker analog,
     ``convert/chunking.py:109-199``). Rows-only: the section logic runs
-    on extractor output (spans), not SQL-expressible. NOTE: the synthetic
-    corpus emits exactly one heading per doc at offset 0, where
-    hierarchical degenerates to flat windowing by definition (a boundary
-    at token 0 opens the only section) — the non-degenerate mid-document
-    split semantics are pinned by
-    test_chunk_text_hierarchical_respects_section_boundaries."""
+    on extractor output (spans), not SQL-expressible. Runs on the
+    SECTIONED corpus variant (an <h2> every 25 words), whose
+    heading boundaries survive extraction mid-document — so this entry
+    genuinely discriminates hierarchical from flat windowing
+    (test_chunker_hierarchical_diverges_from_flat_on_sectioned_corpus
+    asserts the chunk sets differ); boundary semantics are additionally
+    pinned by test_chunk_text_hierarchical_respects_section_boundaries."""
     from docling_jobkit_spark.operators.chunker import chunk_documents
     from docling_jobkit_spark.plans.pipeline import ExtractionPipeline, PipelineConfig
     from docling_jobkit_spark.sources.readers import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, sectioned=True)
     pipe = ExtractionPipeline(
         spark,
         PipelineConfig(num_partitions=max(8, spark.sparkContext.defaultParallelism)),
@@ -670,11 +671,14 @@ def _q_training_shards_roundtrip(spark, sf_dir):
     from docling_jobkit_spark.sinks import write_training_shards
 
     docs = _read(spark, sf_dir, "documents")
-    # fixed per-sf path + mode=overwrite (idempotent): repeated bench/
-    # driver invocations must not accumulate tempdirs
+    # per-(sf, process) path + mode=overwrite: repeated invocations in
+    # ONE process reuse the dir (no tempdir accumulation), while two
+    # concurrent driver/bench processes on the same host can no longer
+    # race on one directory (reading shards mid-overwrite by the other
+    # produced a spurious hash mismatch)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"djs_shards_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"djs_shards_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
     )
     write_training_shards(
         docs,

@@ -22,8 +22,10 @@ reference's own object-store pattern (``convert/results_processor.py:
   died before cleanup) are INVISIBLE: every read path resolves data
   locations through manifests, never by listing ``results/``;
 - resume = anti-join: pages whose commit group already has a manifest
-  are skipped (coarse, partition-pruned), and a ``left_anti`` on url
-  against the committed results guards the fine grain (SURVEY §3.3).
+  are skipped (coarse, partition-pruned), and a ``left_anti`` on the
+  payload-qualified identity ``(url, n_bytes)`` against the committed
+  results guards the fine grain (SURVEY §3.3) — url alone is NOT an
+  identity, the corpus contains duplicate urls with distinct payloads.
 
 The conditional PUT is emulated on POSIX with ``os.link`` (atomic,
 fails-if-exists, and the content is complete before the name appears —
@@ -39,8 +41,10 @@ grain is COUNT-VERIFIED: each committed group's manifest ``n_rows`` is
 checked against the current page count of that group (one map-side-
 combined agg shuffling a single long per group — never a corpus url
 shuffle). Only when a count mismatches (the page set or grouping changed
-between runs) does resume fall back to the exact ``left_anti`` on url
-against committed results.
+between runs) does resume fall back to the exact ``left_anti`` on
+``(url, n_bytes)`` against committed results, and the fallback is
+logged — it implies corpus-scale join work a steady-state resume never
+pays.
 """
 
 from __future__ import annotations
@@ -80,10 +84,16 @@ def _put_if_absent(path: str, payload: bytes) -> bool:
 def _url_hash_sum() -> F.Column:
     """Order-insensitive url-set signature: sum of 56-bit sha256-prefix
     hashes as decimal(38,0) — 10^12 rows × 2^56 ≈ 7×10^28 can't overflow,
-    and any membership change moves the sum with probability 1-2^-56."""
-    h = F.conv(F.substring(F.sha2(F.col("url"), 256), 1, 14), 16, 10).cast(
-        "decimal(28,0)"
-    )
+    and any membership change moves the sum with probability 1-2^-56.
+
+    NULL urls are hashed as the empty string (coalesce) rather than
+    silently dropped: ``F.sum`` skips NULL terms while ``count(*)`` does
+    not, so an un-guarded hash would make any group containing a NULL
+    url permanently fail verification (count matches, sum doesn't) and
+    silently degrade every resume to the fallback join."""
+    h = F.conv(
+        F.substring(F.sha2(F.coalesce(F.col("url"), F.lit("")), 256), 1, 14), 16, 10
+    ).cast("decimal(28,0)")
     return F.sum(h).cast("decimal(38,0)")
 
 
@@ -135,11 +145,19 @@ class CommitLog:
         results.write.mode("error").parquet(path)
         # group-coverage signature from the written files (one narrow
         # url-column scan of THIS group's data): row count + order-
-        # insensitive sum of 56-bit url hashes. Recorded in the manifest
-        # so resume can verify coverage membership-exactly WITHOUT a
-        # corpus url anti-join (see remaining_pages). A count alone is
-        # membership-blind: a regrouping that preserves per-group counts
-        # would slip through it.
+        # insensitive sum of 56-bit url hashes (NULL-guarded — see
+        # _url_hash_sum). Recorded in the manifest so resume can verify
+        # coverage membership-exactly WITHOUT a corpus url anti-join
+        # (see remaining_pages). A count alone is membership-blind: a
+        # regrouping that preserves per-group counts would slip through.
+        # CONTRACT: the signature stands in for the group's INPUT pages,
+        # which is valid because results are 1:1 with pages by the
+        # engine's failures-are-rows invariant (every input page yields
+        # exactly one output row carrying its url — extract_op,
+        # admission reject rows, and slice reassembly all preserve
+        # this). A caller committing results that are NOT 1:1 with its
+        # pages makes every future signature check mismatch, degrading
+        # (loudly — the fallback logs) every resume to the exact join.
         row = (
             results.sparkSession.read.parquet(path)
             .agg(F.count("*").alias("n"), _url_hash_sum().alias("s"))
@@ -209,12 +227,29 @@ class CommitLog:
 
         Only on a mismatch (pages were added/removed, or the grouping
         function/count changed between runs) does it fall back to the
-        exact ``left_anti`` on url against committed results — applied to
-        ALL pages, not the coarse-pruned remainder, because a changed
+        exact ``left_anti`` against committed results — applied to ALL
+        pages, not the coarse-pruned remainder, because a changed
         grouping makes gid membership meaningless. Manifests from older
-        versions without the signature take the fallback too (safe,
-        exact).
+        versions without the signature take the fallback too (safe).
+
+        The fallback join key is PAYLOAD-QUALIFIED when both sides carry
+        the identity: ``(url, n_bytes)`` — committed results record
+        ``n_bytes = coalesce(length(html), 0)`` (extract_op and the
+        admission reject path agree on this), and the pages side
+        recomputes it on the fly. The corpus deliberately contains
+        duplicate urls with DISTINCT payloads, so a url-only key would
+        silently skip an uncommitted page sharing a url with any
+        committed row (under-processing). Equal-length payload swaps at
+        the same url remain outside this identity — catching those would
+        require re-hashing the full corpus payload at resume time, which
+        no resume should pay; pipelines needing content-exact identity
+        should key commit groups on a payload hash upstream. The
+        ``length(html)`` read happens ONLY on this rare fallback path;
+        the steady state never touches the payload column. Every
+        fallback is logged (it means corpus-scale work) with the reason.
         """
+        import logging
+
         gids = self.committed_groups()
         if not gids:
             return pages
@@ -227,6 +262,7 @@ class CommitLog:
                 if m is None or "n_rows" not in m or "url_sig" not in m
                 else (m["n_rows"], m["url_sig"])
             )
+        log = logging.getLogger(__name__)
         if all(v is not None for v in expected.values()):
             actual = {
                 r["gid"]: (r["cnt"], str(r["sig"]))
@@ -235,13 +271,45 @@ class CommitLog:
                 .agg(F.count("*").alias("cnt"), _url_hash_sum().alias("sig"))
                 .collect()
             }
-            if all(actual.get(g) == expected[g] for g in glist):
+            mismatched = [g for g in glist if actual.get(g) != expected[g]]
+            if not mismatched:
                 return pages.filter(~group_col.isin(glist))
+            log.warning(
+                "resume signature mismatch for groups %s (page set or "
+                "grouping changed since commit) — falling back to the "
+                "exact anti-join over all pages", mismatched,
+            )
+        else:
+            log.warning(
+                "resume manifests missing coverage signature for groups %s "
+                "(pre-signature commit) — falling back to the exact "
+                "anti-join over all pages",
+                [g for g in glist if expected[g] is None],
+            )
         done = self.committed_results(spark)
         if done is None:
             return pages.filter(~group_col.isin(glist))
         # AQE picks broadcast vs shuffle for the anti-join based on the
-        # actual size of the committed-url set at runtime
+        # actual size of the committed-identity set at runtime
+        if "n_bytes" in done.columns and "html" in pages.columns:
+            keyed = pages.withColumn(
+                "_resume_nb", F.coalesce(F.length("html").cast("long"), F.lit(0))
+            )
+            committed_keys = done.select(
+                F.col("url").alias("_resume_url"),
+                F.col("n_bytes").alias("_resume_done_nb"),
+            ).distinct()
+            return keyed.join(
+                committed_keys,
+                (keyed["url"] == committed_keys["_resume_url"])
+                & (keyed["_resume_nb"] == committed_keys["_resume_done_nb"]),
+                how="left_anti",
+            ).drop("_resume_nb")
+        log.warning(
+            "resume fallback joining on url alone: committed results lack "
+            "n_bytes or pages lack html — duplicate urls with distinct "
+            "payloads cannot be distinguished on this path"
+        )
         return pages.join(
             done.select("url").distinct(), on="url", how="left_anti"
         )

@@ -70,17 +70,31 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
 
     A derived plan that was ALREADY repartitioned to >= target (few leaf
     files, but an explicit exchange upstream) is detected from the
-    analyzed logical plan (``Repartition n`` / ``RepartitionByExpression
-    [...], n`` nodes) and left alone — no redundant second shuffle. The
-    check is string-plan-only: no physical planning, no ``df.rdd``."""
+    analyzed logical plan and left alone — no redundant second shuffle.
+    Only the OUTERMOST repartition-like node counts: the analyzed plan
+    prints outermost-first, so the first ``Repartition``/
+    ``RepartitionByExpression`` line is the one that determines the
+    DataFrame's output partitioning. Matching anywhere in the string
+    (the old behavior) would let an exchange buried below a later
+    coalesce falsely skip the guard. ``Repartition n, false`` is a
+    COALESCE — it never certifies parallelism. Anything uncertain (no
+    match, a changed node format in a future Spark, an outermost
+    coalesce) takes the conservative branch and repartitions. The check
+    is string-plan-only: no physical planning, no ``df.rdd``."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if len(df.inputFiles()) >= target:
         return df
     plan = df._jdf.queryExecution().analyzed().toString()
-    for m in re.finditer(
-        r"Repartition (\d+),|RepartitionByExpression \[.*?\], (\d+)", plan
-    ):
-        if int(m.group(1) or m.group(2)) >= target:
+    m = re.search(
+        r"Repartition (\d+), (true|false)|RepartitionByExpression \[.*?\], (\d+)",
+        plan,
+    )
+    if m is not None:
+        if m.group(3) is not None:  # RepartitionByExpression with explicit n
+            n, shuffled = int(m.group(3)), True
+        else:
+            n, shuffled = int(m.group(1)), m.group(2) == "true"
+        if shuffled and n >= target:
             return df
     return df.repartition(target)
 

@@ -64,6 +64,13 @@ def run_with_progress(
     sc = spark.sparkContext
     if group_id == "":
         group_id = f"run_with_progress-{uuid.uuid4().hex}"
+    # Save the caller's thread-local job group so it can be RESTORED
+    # after the action: clearing to (None, None) in the finally block
+    # would silently clobber a cancellation scope the caller had set on
+    # this thread before delegating to us.
+    prev_group = sc.getLocalProperty("spark.jobGroup.id")
+    prev_desc = sc.getLocalProperty("spark.job.description")
+    prev_interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     if group_id is not None:
         sc.setJobGroup(group_id, "run_with_progress", interruptOnCancel=False)
     tracker = sc.statusTracker()
@@ -122,7 +129,11 @@ def run_with_progress(
         stop.set()
         poller.join(timeout=5.0)
         if group_id is not None:
-            sc.setJobGroup(None, None)
+            # restore, don't clear: the caller's own job group (and its
+            # interrupt-on-cancel flag), if any, must survive this call
+            sc.setLocalProperty("spark.jobGroup.id", prev_group)
+            sc.setLocalProperty("spark.job.description", prev_desc)
+            sc.setLocalProperty("spark.job.interruptOnCancel", prev_interrupt)
     callback(snapshot(done=True))
     return result
 

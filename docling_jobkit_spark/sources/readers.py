@@ -83,20 +83,50 @@ def union_sources(sources: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), sources)
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, sectioned: bool = False
+) -> DataFrame:
     """Deterministic pages table derived from the driver's ``documents``
     testdata: text wrapped in an article shell with nav/footer boilerplate,
     entirely with JVM string functions (no Python, no RNG).
 
     The '|'-separated sentence split gives multi-paragraph structure so the
     extractor has real block work to do.
-    """
+
+    ``sectioned=True`` additionally inserts an ``<h2>`` heading every
+    25 words — a heading-DENSE corpus variant whose section boundaries
+    survive extraction mid-document, so the hierarchical chunker
+    actually diverges from flat windowing on it (the default variant
+    has exactly one ``<h1>`` at offset 0, where hierarchical
+    degenerates to flat by definition; and the documents' text has no
+    sentence punctuation, so the split is word-indexed). Built with an
+    indexed ``F.transform`` over the word array — still pure JVM."""
     docs = read_table(spark, sf_dir, "documents")
-    body = F.concat(
-        F.lit("<p>"),
-        F.regexp_replace(F.col("text"), r"\. ", ".</p><p>"),
-        F.lit("</p>"),
-    )
+    if sectioned:
+        words = F.split(F.col("text"), " ")
+        parts = F.transform(
+            words,
+            lambda w, i: F.concat(
+                F.when(
+                    (i > F.lit(0)) & (i % F.lit(25) == F.lit(0)),
+                    F.concat(
+                        F.lit("</p><h2>Section "),
+                        (i / F.lit(25)).cast("int").cast("string"),
+                        F.lit(" overview</h2><p>"),
+                    ),
+                )
+                .when(i > F.lit(0), F.lit(" "))
+                .otherwise(F.lit("")),
+                w,
+            ),
+        )
+        body = F.concat(F.lit("<p>"), F.concat_ws("", parts), F.lit("</p>"))
+    else:
+        body = F.concat(
+            F.lit("<p>"),
+            F.regexp_replace(F.col("text"), r"\. ", ".</p><p>"),
+            F.lit("</p>"),
+        )
     html = F.concat(
         F.lit(
             '<!DOCTYPE html><html><head><title>d</title><script>var a=1;</script>'

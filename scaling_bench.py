@@ -228,6 +228,19 @@ def main() -> None:
         "host grants instead of burning rounds into degradation; 0 = "
         "probe once and run regardless (old behavior)",
     )
+    ap.add_argument(
+        "--until-clean-rounds", type=int, default=0, metavar="K",
+        help="keep running paired rounds (beyond --rounds) until K rounds "
+        "satisfy the strict clean criterion (host control >= 0.85 AND "
+        "hi-level cpu/doc <= 1.3x lo) or --budget-seconds is exhausted — "
+        "the hours-spanning retry budget for a host whose clean windows "
+        "are shorter than one timed level; 0 = fixed --rounds (old "
+        "behavior)",
+    )
+    ap.add_argument(
+        "--budget-seconds", type=float, default=4 * 3600.0, metavar="SECONDS",
+        help="wall-clock budget for --until-clean-rounds campaigns",
+    )
     args = ap.parse_args()
 
     corpus_dir = prepare_corpus(args.base_pages, args.shards)
@@ -235,9 +248,22 @@ def main() -> None:
     # Paired rounds: this host's performance drifts over minutes (shared
     # hypervisor), so lo/hi are alternated in time and the per-round
     # throughput ratio is taken; the median ratio cancels the drift.
+    # Clean-round criterion (round-4 lesson — two conditions, both
+    # necessary): the 30-s raw-mp probe can pass while the SUSTAINED
+    # 16-core level still runs throttled (clean windows shorter than a
+    # timed level). The criterion that actually separates pipeline from
+    # hypervisor is the per-level CPU: a clean round's hi-level per-doc
+    # CPU stays within ~1.3x of the lo level's.
+    def _is_clean(x) -> bool:
+        lo_cpu, hi_cpu = (x.get("cpu_ms_per_doc") or [None, None])[:2]
+        cpu_flat = bool(lo_cpu and hi_cpu and hi_cpu <= 1.3 * lo_cpu)
+        return x["host_control_eff"] >= 0.85 and cpu_flat
+
     rounds = []
     lo = hi = None
-    for r in range(args.rounds):
+    budget_end = _time.monotonic() + args.budget_seconds
+    r = 0
+    while True:
         ctrl = host_control_eff(lo_c, hi_c)
         deadline = _time.monotonic() + args.wait_clean
         while ctrl < 0.85 and _time.monotonic() < deadline:
@@ -252,7 +278,20 @@ def main() -> None:
              "cpu_ms_per_doc": [lo.get("cpu_ms_per_doc"), hi.get("cpu_ms_per_doc")],
              "utilization": [lo.get("utilization"), hi.get("utilization")]}
         )
-        print(json.dumps(rounds[-1]))
+        print(json.dumps(rounds[-1]), flush=True)
+        r += 1
+        n_clean = sum(1 for x in rounds if _is_clean(x))
+        if args.until_clean_rounds > 0:
+            # hours-spanning retry budget: keep pairing rounds until
+            # enough CLEAN ones exist (or the budget runs out) — on this
+            # host clean windows are scarce and a fixed round count
+            # mostly harvests degradation
+            if n_clean >= args.until_clean_rounds:
+                break
+            if _time.monotonic() > budget_end:
+                break
+        elif r >= args.rounds:
+            break
 
     def median(vals):
         vals = sorted(vals)
@@ -265,17 +304,6 @@ def main() -> None:
     # hypervisor (a real N vs 4N cluster does not share its cores with a
     # drifting co-tenant). Both medians are reported; the gate is taken
     # on clean rounds when at least two exist.
-    def _is_clean(x) -> bool:
-        # Two conditions, both necessary (round-4 lesson): the 30-s raw-mp
-        # probe can pass while the SUSTAINED 16-core level still runs
-        # throttled (clean windows shorter than a timed level). The
-        # criterion that actually separates pipeline from hypervisor is
-        # the per-level CPU: a clean round's hi-level per-doc CPU stays
-        # within ~1.3x of the lo level's.
-        lo_cpu, hi_cpu = (x.get("cpu_ms_per_doc") or [None, None])[:2]
-        cpu_flat = bool(lo_cpu and hi_cpu and hi_cpu <= 1.3 * lo_cpu)
-        return x["host_control_eff"] >= 0.85 and cpu_flat
-
     clean = [x for x in rounds if _is_clean(x)]
     eff_clean = median([x["eff"] for x in clean]) if clean else None
     best_lo = max(x["lo"] for x in rounds)
@@ -305,7 +333,8 @@ def main() -> None:
             f"host control eff per round: {[x.get('host_control_eff') for x in summary['rounds']]}; "
             f"gate median over {summary['n_clean_rounds']} clean rounds "
             f"(host control >= 0.85 AND hi-level cpu/doc <= 1.3x lo), "
-            f"all-rounds median {summary['scaling_efficiency_all_rounds']}\n\n"
+            f"all-rounds median {summary['scaling_efficiency_all_rounds']}; "
+            f"clean-round effs: {[x['eff'] for x in clean]}\n\n"
             f"speedup {lo_c}→{hi_c} cores: **{summary['speedup']}×**; "
             f"scaling efficiency: **{summary['scaling_efficiency']}** "
             f"(gate ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'})\n"

@@ -192,6 +192,83 @@ def test_remaining_pages_falls_back_to_exact_url_join_on_regroup(spark, tmp_path
     assert got == {f"u{i}" for i in range(20) if i % 4 != 2}
 
 
+def test_remaining_pages_fallback_is_payload_qualified(spark, tmp_path):
+    """The corpus contains duplicate urls with DISTINCT payloads. When
+    both sides carry the identity (results.n_bytes, pages.html), the
+    fallback anti-join must key on (url, n_bytes): an uncommitted page
+    sharing a url with a committed row but carrying a different payload
+    is KEPT (url-only would silently under-process it)."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(str(tmp_path / "o"))
+    pages = spark.createDataFrame(
+        [
+            ("u0", b"<p>short</p>", 0),
+            ("u0", b"<p>a longer distinct payload</p>", 1),  # same url!
+            ("u1", b"<p>other</p>", 1),
+        ],
+        "url string, html binary, g int",
+    )
+    # group 0 committed: result row for (u0, short payload) with n_bytes
+    done = pages.filter("g = 0").select(
+        "url",
+        F.lit("t").alias("extracted_text"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    log.commit_group(0, done)
+    # force the fallback: regrouped input (signatures can't match)
+    regrouped = pages.withColumn("g2", (F.col("g") + 1) % 2)
+    remaining = log.remaining_pages(spark, regrouped, F.col("g2"))
+    got = {(r["url"], bytes(r["html"])) for r in remaining.collect()}
+    assert got == {
+        ("u0", b"<p>a longer distinct payload</p>"),
+        ("u1", b"<p>other</p>"),
+    }, "the same-url-different-payload page must survive the fallback"
+    assert "_resume_nb" not in remaining.columns
+
+
+def test_remaining_pages_fallback_logs_degradation(spark, tmp_path, caplog):
+    """Signature mismatch falls back to corpus-scale join work — that
+    degradation must be VISIBLE (logged), not silent (the pre-fix
+    behavior on any permanently-mismatching manifest)."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    log = CommitLog(str(tmp_path / "o"))
+    pages = spark.createDataFrame(
+        [(f"u{i}", i % 2) for i in range(6)], "url string, g int"
+    )
+    done = pages.filter("g = 0").select("url", F.lit("t").alias("extracted_text"))
+    log.commit_group(0, done)
+    regrouped = pages.withColumn("g2", (F.col("g") + 1) % 2)
+    with caplog.at_level(logging.WARNING, logger="docling_jobkit_spark.checkpoint"):
+        log.remaining_pages(spark, regrouped, F.col("g2"))
+    assert any("signature mismatch" in r.message for r in caplog.records)
+    # url-only fallback (no n_bytes/html identity on either side) is
+    # additionally called out as unable to distinguish duplicate urls
+    assert any("url alone" in r.message for r in caplog.records)
+
+
+def test_url_hash_sum_null_guarded(spark, tmp_path):
+    """A committed group containing a NULL url must still verify in the
+    steady state: F.sum silently drops NULL hash terms while count(*)
+    keeps the row, so an un-guarded signature would permanently
+    mismatch and silently degrade every resume to the fallback join."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(str(tmp_path / "o"))
+    pages = spark.createDataFrame(
+        [("u0", 0), (None, 0), ("u2", 1)], "url string, g int"
+    )
+    done = pages.filter("g = 0").select("url", F.lit("t").alias("extracted_text"))
+    log.commit_group(0, done)
+    remaining = log.remaining_pages(spark, pages, F.col("g"))
+    plan = remaining._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "NULL url must not break the steady state"
+    assert {r["url"] for r in remaining.collect()} == {"u2"}
+
+
 def test_sink_manifest_refreshes_after_overwrite(spark, tmp_path):
     """A manifest sealed for run 1 must be REPLACED, not returned, when
     the results were re-written with mode=overwrite: the old manifest

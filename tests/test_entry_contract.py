@@ -75,3 +75,89 @@ def test_bench_wrapper_extracts_result_line_from_noisy_output():
     assert _extract_result_line(noisy) == result
     assert _extract_result_line("no json here\nat all\n") is None
     assert _extract_result_line("") is None
+
+
+def test_bench_result_line_fits_driver_tail_capture():
+    """BENCH_r04 was lost a second way: the driver records only a
+    2000-char stdout TAIL, and the ~2.8 KB result line truncated at the
+    front. The stdout line (full wall-clock queries map, compact
+    separators; CPU map diverted to bench_full.json) must stay under
+    1800 chars against the real headline list with worst-case widths."""
+    import json
+
+    import bench
+
+    timings = {n: 123.45 for n in bench.HEADLINE_QUERIES}
+    timings["extract_pipeline"] = 123.45
+    cpu = {n: 123.45 for n in bench.HEADLINE_QUERIES}
+    extras = {
+        "extract_docs_per_sec": 14433.9,
+        "extract_mb_per_sec": 5123.3,
+        "extract_n_docs": 1600000,
+        "extract_sliced_secs": 123.456,
+    }
+    scaling = {
+        "scaling_eff_last_campaign": 0.352,
+        "scaling_gate": ">=0.8",
+        "scaling_eff_best_clean": 0.954,
+        "scaling_clean_rounds_last": 10,
+        "scaling_levels": "4v16",
+    }
+    line, full = bench.build_result(timings, cpu, extras, scaling)
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_headline_seconds"
+    assert set(parsed["queries"]) == set(bench.HEADLINE_QUERIES)
+    assert "queries_cpu_seconds" not in parsed  # bulk goes to the file
+    assert full["queries_cpu_seconds"] == cpu
+
+
+def test_bench_scaling_fields_are_labeled():
+    """_recorded_scaling must report best-clean and last-campaign as
+    SEPARATE labeled fields: the round-4 line embedded only the last
+    campaign (0.352, a degraded-host window) next to the >=0.8 gate,
+    which a parsed consumer would misread as a pipeline FAIL."""
+    from bench import _recorded_scaling
+
+    md = (
+        "## Scaling run (base_pages=4000, replicate=30, levels=4/16, pinned=True)\n"
+        "gate median over 2 clean rounds (host control >= 0.85), blah\n"
+        "speedup 4→16 cores: **3.82×**; scaling efficiency: **0.954** "
+        "(gate ≥ 0.8: PASS — clean-window round)\n"
+        "## Scaling run (base_pages=4000, replicate=30, levels=4/16, pinned=True)\n"
+        "gate median over 0 clean rounds (host control >= 0.85 AND ...)\n"
+        "speedup 4→16 cores: **1.319×**; scaling efficiency: **0.352** "
+        "(gate ≥ 0.8: FAIL)\n"
+    )
+    out = _recorded_scaling(md)
+    assert out["scaling_eff_best_clean"] == 0.954
+    assert out["scaling_eff_last_campaign"] == 0.352
+    assert out["scaling_clean_rounds_last"] == 0
+    assert out["scaling_levels"] == "4v16"
+    assert _recorded_scaling("no scaling content") == {}
+
+
+def test_bench_cpu_sample_selection_guards_jit_contamination():
+    """Async C2 JIT from an earlier run can bleed into a warm window
+    (a 0.8 s warm simhash run once charged 50 CPU-s, and 50.78 landed in
+    the round-4 snapshot). The selector must retry while all warm
+    samples read contaminated and never record one."""
+    from bench import _cpu_needs_more_runs, _steady_cpu
+
+    # base protocol: need n samples, then at least one positive warm one
+    assert _cpu_needs_more_runs([], 3, 5)
+    assert _cpu_needs_more_runs([10.0, 3.0], 3, 5)
+    assert not _cpu_needs_more_runs([10.0, 3.0, 4.0], 3, 5)
+    assert _cpu_needs_more_runs([10.0, 0.0, 0.0], 3, 5)
+    # contamination: all warm samples > 2x a faster earlier sample
+    assert _cpu_needs_more_runs([10.0, 50.78, 49.0], 3, 5)
+    assert not _cpu_needs_more_runs([10.0, 50.78, 49.0, 48.0, 47.0], 3, 5)
+    # smoke mode: one cold run only
+    assert _cpu_needs_more_runs([], 1, 1)
+    assert not _cpu_needs_more_runs([10.0], 1, 1)
+
+    assert _steady_cpu([10.0, 50.78, 3.4]) == 3.4  # min over warm
+    assert _steady_cpu([10.0, 50.78, 49.0]) == 10.0  # all-warm contaminated
+    assert _steady_cpu([10.0]) == 10.0  # cold-only fallback
+    assert _steady_cpu([0.0, 0.0]) == 0.0
+    assert _steady_cpu([]) == 0.0

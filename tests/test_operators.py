@@ -312,6 +312,38 @@ def test_chunk_documents_hierarchical_mode(spark):
         chunk_documents(df, mode="nope")
 
 
+def test_chunker_hierarchical_diverges_from_flat_on_sectioned_corpus(spark, sf_dir):
+    """On the heading-DENSE corpus variant (sectioned=True: an <h2>
+    before every 4th sentence), the hierarchical chunker must produce a
+    measurably different chunk set than flat windowing — the default
+    corpus has one heading at offset 0 where the two modes coincide by
+    definition, so this is the corpus-level evidence that the
+    chunker_hierarchical entry discriminates."""
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+    from docling_jobkit_spark.operators.extract_op import extract_documents
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, sectioned=True).limit(24)
+    extracted = extract_documents(pages).localCheckpoint(eager=False)
+    flat = {
+        (r["url"], r["chunk_index"], r["text"])
+        for r in chunk_documents(extracted, max_tokens=32, overlap=4)
+        .select("url", "chunk_index", "text")
+        .collect()
+    }
+    hier_rows = chunk_documents(
+        extracted, max_tokens=32, overlap=4, mode="hierarchical"
+    ).collect()
+    hier = {(r["url"], r["chunk_index"], r["text"]) for r in hier_rows}
+    assert flat != hier, "sectioned corpus must separate the two modes"
+    # mid-document section headings survived extraction and are carried
+    # on the chunks they govern
+    assert any(
+        r["headings"] and any("Section" in h for h in r["headings"])
+        for r in hier_rows
+    )
+
+
 def test_chunker_failure_propagation(spark):
     from docling_jobkit_spark.operators.chunker import chunk_documents
 

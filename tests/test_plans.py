@@ -237,6 +237,18 @@ def test_spread_for_compute_skips_already_spread_plans(spark, sf_dir):
     plan = _plan(spread_for_compute(small))
     assert f"RoundRobinPartitioning({target}" in plan
 
+    # only the OUTERMOST repartition-like node certifies parallelism: a
+    # coalesce applied AFTER a big repartition caps the partition count,
+    # so the buried exchange must not skip the guard
+    collapsed = docs.repartition(target * 2).coalesce(1)
+    plan = _plan(spread_for_compute(collapsed))
+    assert f"RoundRobinPartitioning({target}" in plan
+
+    # a bare coalesce never certifies parallelism either
+    coalesced = docs.coalesce(target * 2)
+    plan = _plan(spread_for_compute(coalesced))
+    assert f"RoundRobinPartitioning({target}" in plan
+
 
 def test_curate_stamp_is_scan_fused(spark, sf_dir):
     """The batch twin of the streaming curation stamp must stay a pure

@@ -107,3 +107,22 @@ def test_run_with_progress_default_group_is_exact_for_fast_actions(spark):
     final = events[-1]
     assert final.done
     assert final.num_completed_tasks > 0, "fast action must not report zeros"
+
+
+def test_run_with_progress_restores_caller_job_group(spark):
+    """A caller that set its own job group (its cancellation scope) on
+    this thread must get it back after run_with_progress — the old
+    finally block cleared the group to (None, None), silently losing
+    the caller's scope."""
+    sc = spark.sparkContext
+    sc.setJobGroup("caller-scope", "caller desc", interruptOnCancel=True)
+    try:
+        n = run_with_progress(
+            lambda: spark.range(10).count(), lambda e: None, spark
+        )
+        assert n == 10
+        assert sc.getLocalProperty("spark.jobGroup.id") == "caller-scope"
+        assert sc.getLocalProperty("spark.job.description") == "caller desc"
+        assert sc.getLocalProperty("spark.job.interruptOnCancel") == "true"
+    finally:
+        sc.setJobGroup(None, None)
