@@ -691,6 +691,62 @@ def _q_training_shards_roundtrip(spark, sf_dir):
     return back.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
+def _q_bucketed_join_roundtrip(spark, sf_dir):
+    """K3+: the co-located join layout made driver-visible. Writes two
+    tables bucketed on doc_id (write_bucketed — parquet bucketing via
+    saveAsTable), joins them back, and RAISES if the join plan contains
+    any Exchange: at corpus scale this layout is what turns every
+    repeated doc-key join from a corpus shuffle into a metadata
+    property. Rows-only: bucketing is a physical-layout property DuckDB
+    has no twin for; the plan assertion inside the query is the check.
+    Table names are per-process (two concurrent drivers must not race
+    on one catalog name)."""
+    import os
+
+    from docling_jobkit_spark.sinks import write_bucketed
+
+    pid = os.getpid()
+    docs = _read(spark, sf_dir, "documents")
+    left_name, right_name = f"bkt_rt_docs_{pid}", f"bkt_rt_feats_{pid}"
+    write_bucketed(
+        docs.select("doc_id", "source", "lang"), left_name, "doc_id", 8,
+        sort_col="doc_id",
+    )
+    write_bucketed(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        right_name, "doc_id", 8, sort_col="doc_id",
+    )
+    joined = (
+        spark.table(left_name)
+        .join(spark.table(right_name), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    # Plan assertion under big-big conditions: disable broadcast so the
+    # planner must satisfy the join's hash requirement from the BUCKETED
+    # layout (at test scale it would otherwise just broadcast the tiny
+    # side — which hides whether the layout property holds). Restored
+    # immediately; the returned DataFrame plans normally at collect time.
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = (
+            spark.table(left_name)
+            .join(spark.table(right_name), "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        if "Exchange" in join_plan:
+            raise AssertionError(
+                f"bucketed co-located join planned an Exchange:\n{join_plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    return joined.orderBy("source", "lang")
+
+
 def _q_url_filter_domains(spark, sf_dir):
     """Blocklist-TABLE domain filter: distinct hosts -> suffix explode ->
     broadcast semi-join -> broadcast flag-back (the UT1-scale shape)."""
@@ -828,6 +884,37 @@ def _q_bpe_tokens(spark, sf_dir):
         "doc_id",
         F.size(toks).cast("int").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_bpe"),
+    )
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    """Tokenizer-aware token counts under a TRAINED BPE merge table —
+    the reference chunker's ``num_tokens`` analog
+    (``docling_jobkit/convert/chunking.py:109-199``), from scratch:
+    merges trained driver-side on a bounded deterministic sample (first
+    512 docs by doc_id, the k-means-codebook pattern), applied via an
+    Arrow-batched pandas UDF with per-batch word memoization — a
+    projection at scan speed, no shuffle. Rows-only: BPE application is
+    inherently iterative (no SQL twin); determinism + pure-python
+    row-exact equivalence are pinned in tests/test_bpe.py."""
+    from docling_jobkit_spark.functions.bpe import (
+        bpe_token_count_col,
+        train_bpe_from_df,
+    )
+    from docling_jobkit_spark.functions.scalar import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    # n_merges deliberately BELOW full-word saturation for this corpus'
+    # tiny vocabulary (real corpora never saturate): with 200 merges
+    # every frequent word collapses to one token and the count
+    # degenerates to the whitespace count
+    merges = train_bpe_from_df(
+        docs, text_col="text", order_col="doc_id", sample_rows=512, n_merges=48
+    )
+    return docs.select(
+        "doc_id",
+        bpe_token_count_col(merges, "text").alias("n_bpe_trained"),
+        token_count("text").alias("n_words"),
     )
 
 
@@ -1014,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_markdown": _q_export_markdown,
         "export_html": _q_export_html,
         "doc_features": _q_doc_features,
+        "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 

@@ -17,7 +17,6 @@ Determinism rules (SURVEY §7 "What's hard" #1):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 
 # --- lexical grammar -------------------------------------------------------
 
@@ -28,6 +27,18 @@ _TAG_RE = re.compile(
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DOCTYPE_RE = re.compile(r"<![^>]*>", re.DOTALL)
 _WS_RE = re.compile(r"\s+")
+# one alternation for the stream scanner: branch order TAG | COMMENT |
+# DOCTYPE reproduces the positional matcher's precedence exactly (regex
+# alternation is first-branch-wins at each position, and all branches
+# start with '<' so matches begin only where the positional scanner
+# attempted them). group(2) is non-None iff the TAG branch matched;
+# comments and doctypes are both pure skips.
+_SCAN_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"
+    r"|<!--.*?-->"
+    r"|<![^>]*>",
+    re.DOTALL,
+)
 
 # content of these elements is never document text
 RAW_TEXT_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head"})
@@ -103,24 +114,24 @@ def collapse_ws(s: str) -> str:
 # --- block model -----------------------------------------------------------
 
 
-@dataclass
 class Block:
-    """One flushed run of text with its structural context."""
+    """One flushed run of text with its structural context.
 
-    path: str                    # e.g. "html/body/div/p"
-    kind: str                    # heading | para | list | table | pre | quote | caption
-    depth: int
-    in_boilerplate: bool
-    text_parts: list[str] = field(default_factory=list)
-    link_chars: int = 0          # chars contributed while inside <a>
+    ``text`` is computed eagerly at flush time (every surviving block's
+    text is consumed downstream anyway — classification reads it, and
+    the emit loop joins it); slots + a plain ``__init__`` measured ~2x
+    cheaper per block than the dataclass-with-lazy-property form at
+    ~80 blocks/page."""
 
-    _text: str | None = None
+    __slots__ = ("path", "kind", "depth", "in_boilerplate", "text", "link_chars")
 
-    @property
-    def text(self) -> str:
-        if self._text is None:
-            self._text = collapse_ws(decode_entities("".join(self.text_parts)))
-        return self._text
+    def __init__(self, path, kind, depth, in_boilerplate, text, link_chars):
+        self.path = path
+        self.kind = kind
+        self.depth = depth
+        self.in_boilerplate = in_boilerplate
+        self.text = text
+        self.link_chars = link_chars
 
     @property
     def text_len(self) -> int:
@@ -128,6 +139,8 @@ class Block:
 
 
 def _kind_for_stack(stack: list[str]) -> str:
+    """Innermost tag with a mapped kind (documentation twin of the
+    incremental kind tracking inside tokenize_blocks; kept for tests)."""
     for tag in reversed(stack):
         k = _KIND_BY_TAG.get(tag)
         if k is not None:
@@ -141,127 +154,187 @@ def tokenize_blocks(html: str) -> list[Block]:
     Single pass, O(n). Unknown / mismatched closes: pop to the matching
     open tag if present in the stack, else ignore (fixed rule → identical
     behavior for broken markup everywhere).
+
+    Hot path notes (byte-identical to the straightforward positional
+    form — pinned by the differential test in tests/test_tokenizer_equiv
+    .py and the corpus digest): block state lives in locals instead of
+    closure calls; the block KIND is tracked incrementally on the tag
+    stack (push = own kind or inherit, pop = mirror); and scanning runs
+    on a single combined-alternation ``finditer`` STREAM, so the
+    find-next-'<' / try-match / lone-'<' bookkeeping happens in C — text
+    between matches arrives as one gap string. Two exactness details:
+
+    - lone '<' literals live inside gap strings; concatenated text is
+      unchanged, and the per-segment link-char accounting is reproduced
+      by splitting the gap on '<' (each lone '<' contributes exactly 1,
+      each piece its collapsed-decoded length) — the positional form
+      collapsed each piece separately, so whole-gap collapse would
+      differ around the '<'.
+    - raw-text elements (script/style/…) are scanned POSITIONALLY (the
+      only-matching-close-ends-it rule, including the advance-by-one on
+      any other '<'), and the stream iterator is RECREATED after the
+      raw section: a stale stream could have consumed a tag straddling
+      the close (e.g. the close tag inside another tag's attribute) and
+      would diverge from the positional scan.
     """
     blocks: list[Block] = []
     stack: list[str] = []
+    kinds: list[str] = []     # incremental _kind_for_stack: kinds[-1] is current
     boiler_depth = 0          # >0 while inside any BOILERPLATE_TAGS subtree
     link_depth = 0            # >0 while inside <a>
     raw_until: str | None = None  # inside script/style/…: skip until this close
 
-    cur: Block | None = None
+    # open-block state (None parts = no open block); meta is captured at
+    # the block's FIRST text segment, exactly as the closure form did
+    cur_parts: list[str] | None = None
+    cur_path = cur_kind = ""
+    cur_depth = 0
+    cur_boiler = False
+    cur_link_chars = 0
 
-    def flush() -> None:
-        nonlocal cur
-        if cur is not None and cur.text_parts:
-            blocks.append(cur)
-        cur = None
+    tag_match = _TAG_RE.match
+    scan_iter = _SCAN_RE.finditer
+    find = html.find
+    kind_by_tag = _KIND_BY_TAG
+    block_tags = BLOCK_TAGS
+    void_tags = VOID_TAGS
+    raw_tags = RAW_TEXT_TAGS
+    boiler_tags = BOILERPLATE_TAGS
 
-    def ensure_block() -> Block:
-        nonlocal cur
-        if cur is None:
-            cur = Block(
-                path="/".join(stack) if stack else "",
-                kind=_kind_for_stack(stack),
-                depth=len(stack),
-                in_boilerplate=boiler_depth > 0,
-            )
-        return cur
+    def _link_len(seg: str) -> int:
+        """Exact positional-form link-char accounting for a gap string:
+        the positional scanner appended each lone '<' as its own 1-char
+        part and collapsed the pieces AROUND it separately — whole-gap
+        collapse would merge whitespace across the '<' differently."""
+        if "<" not in seg:
+            return len(collapse_ws(decode_entities(seg)))
+        pieces = seg.split("<")
+        total = len(pieces) - 1
+        for p in pieces:
+            if p:
+                total += len(collapse_ws(decode_entities(p)))
+        return total
 
     i, n = 0, len(html)
     while i < n:
-        lt = html.find("<", i)
-        if lt == -1:
-            if raw_until is None:
-                text = html[i:]
-                if text:
-                    b = ensure_block()
-                    b.text_parts.append(text)
-                    if link_depth > 0:
-                        b.link_chars += len(collapse_ws(decode_entities(text)))
-            break
-        if lt > i and raw_until is None:
-            text = html[i:lt]
-            b = ensure_block()
-            b.text_parts.append(text)
-            if link_depth > 0:
-                b.link_chars += len(collapse_ws(decode_entities(text)))
-        i = lt
-
         if raw_until is not None:
-            # only the matching close tag ends a raw-text element
-            m = _TAG_RE.match(html, i)
+            # positional scan: only the matching close tag ends a
+            # raw-text element; any other '<' advances by one
+            lt = find("<", i)
+            if lt == -1:
+                i = n
+                break
+            m = tag_match(html, lt)
             if m and m.group(1) == "/" and m.group(2).lower() == raw_until:
                 raw_until = None
                 tag = m.group(2).lower()
                 if tag in stack:
                     while stack and stack[-1] != tag:
                         stack.pop()
+                        kinds.pop()
                     if stack:
                         stack.pop()
+                        kinds.pop()
                 i = m.end()
             else:
-                i += 1
+                i = lt + 1
             continue
 
-        # Tag first (the common case): no overlap with comments/doctype —
-        # _TAG_RE requires a letter after "<" or "</", both "<!--" and
-        # "<!" forms need "!". Comment stays BEFORE doctype (a comment
-        # containing ">" must not be cut short by the doctype rule).
-        m = _TAG_RE.match(html, i)
-        if m is None:
-            m = _COMMENT_RE.match(html, i)
-            if m:
-                i = m.end()
-                continue
-        if m:
-            closing, tag, _attrs, selfclose = m.groups()
+        # stream scan from i (recreated after every raw section — see
+        # docstring); gaps between matches are text, incl. lone '<'s
+        for m in scan_iter(html, i):
+            a, e = m.span()
+            if a > i:
+                text = html[i:a]
+                if cur_parts is None:
+                    cur_parts = [text]
+                    cur_path = "/".join(stack) if stack else ""
+                    cur_kind = kinds[-1] if kinds else "para"
+                    cur_depth = len(stack)
+                    cur_boiler = boiler_depth > 0
+                    cur_link_chars = 0
+                else:
+                    cur_parts.append(text)
+                if link_depth > 0:
+                    cur_link_chars += _link_len(text)
+            i = e
+            closing, tag, selfclose = m.group(1, 2, 4)
+            if tag is None:
+                continue  # comment or doctype: pure skip
             tag = tag.lower()
-            if closing:
-                if tag in BLOCK_TAGS:
-                    flush()
+            if closing:  # closing tag
+                if tag in block_tags:
+                    if cur_parts:
+                        t = collapse_ws(decode_entities("".join(cur_parts)))
+                        if t:
+                            blocks.append(Block(
+                                cur_path, cur_kind, cur_depth, cur_boiler,
+                                t, cur_link_chars,
+                            ))
+                    cur_parts = None
                 if tag in stack:
                     # pop-until-match: fixed recovery rule for bad nesting
                     while stack and stack[-1] != tag:
                         popped = stack.pop()
-                        if popped in BOILERPLATE_TAGS:
+                        kinds.pop()
+                        if popped in boiler_tags:
                             boiler_depth -= 1
                         if popped == "a":
                             link_depth -= 1
                     if stack:
                         stack.pop()
-                        if tag in BOILERPLATE_TAGS:
+                        kinds.pop()
+                        if tag in boiler_tags:
                             boiler_depth -= 1
                         if tag == "a":
                             link_depth -= 1
             else:
-                if tag in BLOCK_TAGS:
-                    flush()
+                if tag in block_tags:
+                    if cur_parts:
+                        t = collapse_ws(decode_entities("".join(cur_parts)))
+                        if t:
+                            blocks.append(Block(
+                                cur_path, cur_kind, cur_depth, cur_boiler,
+                                t, cur_link_chars,
+                            ))
+                    cur_parts = None
                 if tag == "br":
                     # line break inside a block = whitespace
-                    if cur is not None:
-                        cur.text_parts.append(" ")
-                if not selfclose and tag not in VOID_TAGS:
-                    if tag in RAW_TEXT_TAGS:
-                        stack.append(tag)
+                    if cur_parts is not None:
+                        cur_parts.append(" ")
+                if not selfclose and tag not in void_tags:
+                    stack.append(tag)
+                    kinds.append(
+                        kind_by_tag.get(tag) or (kinds[-1] if kinds else "para")
+                    )
+                    if tag in raw_tags:
                         raw_until = tag
-                    else:
-                        stack.append(tag)
-                        if tag in BOILERPLATE_TAGS:
-                            boiler_depth += 1
-                        if tag == "a":
-                            link_depth += 1
-            i = m.end()
-            continue
-        m = _DOCTYPE_RE.match(html, i)
-        if m:
-            i = m.end()
-            continue
-        # lone '<' that is not a tag: literal text
-        b = ensure_block()
-        b.text_parts.append("<")
-        if link_depth > 0:
-            b.link_chars += 1
-        i += 1
+                        break  # leave the stream; raw section is positional
+                    if tag in boiler_tags:
+                        boiler_depth += 1
+                    if tag == "a":
+                        link_depth += 1
+        else:
+            # stream exhausted: everything left is text
+            if i < n:
+                text = html[i:]
+                if cur_parts is None:
+                    cur_parts = [text]
+                    cur_path = "/".join(stack) if stack else ""
+                    cur_kind = kinds[-1] if kinds else "para"
+                    cur_depth = len(stack)
+                    cur_boiler = boiler_depth > 0
+                    cur_link_chars = 0
+                else:
+                    cur_parts.append(text)
+                if link_depth > 0:
+                    cur_link_chars += _link_len(text)
+            i = n
 
-    flush()
-    return [b for b in blocks if b.text_len > 0]
+    if cur_parts:
+        t = collapse_ws(decode_entities("".join(cur_parts)))
+        if t:
+            blocks.append(
+                Block(cur_path, cur_kind, cur_depth, cur_boiler, t, cur_link_chars)
+            )
+    return blocks
