@@ -246,6 +246,100 @@ def chunk_text_hierarchical(
     return chunks
 
 
+def chunk_text_budgeted(
+    text: str,
+    spans: list[dict] | None,
+    cost_fn,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> list[dict]:
+    """Token-BUDGET windowing: the window extends greedily while the sum
+    of per-word costs stays within ``max_tokens`` (≥1 word always), and
+    advances by ``window_len - overlap`` WORDS. With a real tokenizer
+    cost (e.g. trained-BPE counts from ``functions.bpe``) this is the
+    reference HybridChunker's budget semantics — windows sized by what
+    the downstream model tokenizer will see, not by whitespace counts
+    (``convert/chunking.py:109-199``: merge-to-budget). ``num_tokens``
+    reports the window's BUDGET cost. With ``cost_fn = lambda w: 1`` it
+    degenerates to exactly ``chunk_text`` (differential-tested).
+
+    ``cost_fn`` is called once per distinct word (memoized here), so the
+    per-doc cost is near-linear for Zipfian text."""
+    from bisect import bisect_right
+
+    parsed = _parse_doc(text, spans)
+    if parsed is None:
+        return []
+    toks, page_starts, headings, all_spans = parsed
+
+    memo: dict[str, int] = {}
+
+    def cost(i: int) -> int:
+        w = text[toks[i][0] : toks[i][1]]
+        c = memo.get(w)
+        if c is None:
+            c = cost_fn(w)
+            memo[w] = c
+        return c
+
+    chunks: list[dict] = []
+    heading_starts = [s for s, _, _ in headings]
+    span_ptr = 0
+    active: list[tuple[int, int, str, str]] = []
+    n = len(toks)
+    t0 = 0
+    ci = 0
+    while t0 < n:
+        budget = cost(t0)
+        t1 = t0 + 1
+        while t1 < n:
+            c = cost(t1)
+            if budget + c > max_tokens:
+                break
+            budget += c
+            t1 += 1
+        window = toks[t0:t1]
+        lo, hi = window[0][0], window[-1][1]
+        chunk_str = text[lo:hi]
+        p_lo = bisect_right(page_starts, lo)
+        p_hi = bisect_right(page_starts, hi - 1)
+        pages = list(range(p_lo, p_hi + 1))
+        h_idx = bisect_right(heading_starts, lo) - 1
+        nearest = [headings[h_idx]] if h_idx >= 0 else []
+        if nearest and nearest[0][1] <= lo:
+            ctx_text = nearest[0][2] + "\n" + chunk_str
+        else:
+            ctx_text = chunk_str
+        while span_ptr < len(all_spans) and all_spans[span_ptr][0] < hi:
+            active.append(all_spans[span_ptr])
+            span_ptr += 1
+        active = [sp for sp in active if sp[1] > lo]
+        chunks.append(
+            {
+                "chunk_index": ci,
+                "text": ctx_text,
+                "raw_text": chunk_str,
+                "num_tokens": budget,
+                "headings": [h for _, _, h in nearest],
+                "captions": [
+                    text[s:e] for s, e, kind, _ in active if kind == "caption"
+                ],
+                "page_numbers": pages,
+                "doc_items": [p for _, _, _, p in active],
+                "has_image": False,
+            }
+        )
+        ci += 1
+        if t1 >= n:
+            break
+        step = (t1 - t0) - overlap
+        t0 += step if step > 0 else 1
+        # NOTE on the span active-list: t0 only moves forward, so lo is
+        # nondecreasing and the enter-once/leave-permanently invariant of
+        # _window_loop holds here too
+    return chunks
+
+
 def _chunk_batches(
     batches: Iterator[pd.DataFrame], max_tokens: int, overlap: int, chunk_fn=chunk_text
 ) -> Iterator[pd.DataFrame]:
@@ -278,13 +372,18 @@ def chunk_documents(
     max_tokens: int = 64,
     overlap: int = 8,
     mode: str = "window",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Extraction results → chunk rows (1→N explode via mapInPandas).
 
     ``mode="window"`` is the flat token-window chunker (``chunk_text``);
     ``mode="hierarchical"`` splits on heading boundaries first
-    (``chunk_text_hierarchical`` — the reference's hierarchical/hybrid
-    chunker analog, ``convert/chunking.py:109-199``)."""
+    (``chunk_text_hierarchical``); ``mode="budgeted"`` windows by a
+    TRAINED-BPE token budget (``chunk_text_budgeted`` with the merge
+    table from ``functions.bpe.train_bpe_from_df`` — the reference
+    HybridChunker sizes chunks by what the model tokenizer counts, not
+    by whitespace words; ``convert/chunking.py:109-199``). The merge
+    table rides the UDF closure (a few KB per executor)."""
     if overlap >= max_tokens:
         # fail eagerly at plan time: a step <= 0 would otherwise surface
         # as a TASK failure inside the UDF, against the failures-are-rows
@@ -292,12 +391,26 @@ def chunk_documents(
         raise ValueError(
             f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
         )
-    try:
-        chunk_fn = {"window": chunk_text, "hierarchical": chunk_text_hierarchical}[
-            mode
-        ]
-    except KeyError:
-        raise ValueError(f"unknown chunking mode {mode!r}") from None
+    if mode == "budgeted":
+        if merges is None:
+            raise ValueError("mode='budgeted' requires a trained merges table")
+        from docling_jobkit_spark.functions.bpe import bpe_encode
+
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+        def chunk_fn(text, spans, max_tokens, overlap):
+            return chunk_text_budgeted(
+                text, spans, lambda w: len(bpe_encode(w, ranks)),
+                max_tokens, overlap,
+            )
+    else:
+        try:
+            chunk_fn = {
+                "window": chunk_text,
+                "hierarchical": chunk_text_hierarchical,
+            }[mode]
+        except KeyError:
+            raise ValueError(f"unknown chunking mode {mode!r}") from None
     cols = results.select("url", "status", "extracted_text", "spans")
     return cols.mapInPandas(
         lambda it: _chunk_batches(it, max_tokens, overlap, chunk_fn),

@@ -72,6 +72,74 @@ def test_spark_udf_matches_pure_python(spark, sf_dir):
     assert got == want
 
 
+def test_budgeted_chunker_cost1_equals_chunk_text():
+    """chunk_text_budgeted with unit costs must reproduce chunk_text
+    EXACTLY (same windows, same metadata) — the differential that pins
+    the budget loop's window arithmetic to the flat chunker's."""
+    from docling_jobkit_spark.operators.chunker import (
+        chunk_text,
+        chunk_text_budgeted,
+    )
+
+    text = "Head One " + " ".join(f"w{i}" for i in range(57))
+    spans = [{"start": 0, "end": 8, "kind": "heading", "path": "h"}]
+    flat = chunk_text(text, spans, max_tokens=8, overlap=2)
+    budg = chunk_text_budgeted(text, spans, lambda w: 1, max_tokens=8, overlap=2)
+    assert budg == flat
+
+
+def test_budgeted_chunker_respects_bpe_budget():
+    """With trained-BPE costs, every window's cost stays within the
+    budget (single over-budget words get a window of their own), windows
+    advance, and nothing is dropped."""
+    from docling_jobkit_spark.operators.chunker import chunk_text_budgeted
+
+    corpus = "alpha beta gamma delta " * 6
+    merges = train_bpe([corpus], n_merges=6)  # partial merges only
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def cost(w):
+        return len(bpe_encode(w, ranks))
+
+    text = corpus.strip()
+    chunks = chunk_text_budgeted(text, [], cost, max_tokens=10, overlap=1)
+    assert len(chunks) > 1
+    for c in chunks:
+        words = c["raw_text"].split()
+        got = sum(cost(w) for w in words)
+        assert got == c["num_tokens"]
+        assert got <= 10 or len(words) == 1
+    # full coverage: every word of the doc appears in some window
+    seen = set()
+    for c in chunks:
+        seen.update(c["raw_text"].split())
+    assert seen == set(text.split())
+
+
+def test_chunk_documents_budgeted_mode(spark, sf_dir):
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(16)
+    merges = train_bpe_from_df(docs, sample_rows=16, n_merges=24)
+    rows = [
+        ("u1", "SUCCESS", "Head One " + " ".join(f"w{i}" for i in range(30)),
+         [{"start": 0, "end": 8, "kind": "heading", "path": "h"}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, status string, extracted_text string, "
+        "spans array<struct<start:long,end:long,kind:string,path:string>>",
+    )
+    out = chunk_documents(
+        df, max_tokens=16, overlap=2, mode="budgeted", merges=merges
+    ).collect()
+    assert out and all(r["num_tokens"] <= 16 for r in out)
+    import pytest
+
+    with pytest.raises(ValueError, match="requires a trained merges"):
+        chunk_documents(df, mode="budgeted")
+
+
 def test_train_bpe_from_df_deterministic_sample(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m1 = train_bpe_from_df(docs, sample_rows=64, n_merges=32)
