@@ -918,6 +918,68 @@ def _q_bpe_token_count(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (training context-window assembly):
+    non-overlapping token-window chunks greedily packed into 256-token
+    sequences inside doc-level hash groups. Rows-only: greedy fill is a
+    sequential recurrence (no SQL twin); tests/test_training.py pins it
+    against an independent pure-Python reference plus budget/coverage/
+    determinism invariants. Returns the per-sequence packing-efficiency
+    report (the metric a training pipeline actually monitors)."""
+    from docling_jobkit_spark.operators.chunker import token_window_chunks
+    from docling_jobkit_spark.operators.training import (
+        pack_sequences,
+        packed_sequence_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = token_window_chunks(
+        docs, text_col="text", id_col="doc_id", max_tokens=32, overlap=0
+    )
+    assigned = pack_sequences(
+        chunks, budget=256, doc_col="doc_id",
+        order_cols=("doc_id", "chunk_index"), num_groups=8,
+    )
+    return packed_sequence_stats(assigned, budget=256).select(
+        "pack_group", "seq_index", "n_chunks", "seq_tokens", "fill_ratio"
+    )
+
+
+def _q_mixture_split(spark, sf_dir):
+    """Deterministic corpus-mixture sampling (per-source weights with
+    oversampling epochs) composed with the leakage-safe hash split —
+    the GPT-3/LLaMA data-recipe assembly step. Both stages are pure
+    codegen (sha256-derived decisions, no rand(), no shuffle before the
+    final count agg); exact DuckDB twins are pinned in
+    tests/test_training.py (entry itself sits past the 50-entry oracle
+    window, so it reports the per-(source, split, epoch) counts)."""
+    from docling_jobkit_spark.operators.training import (
+        mixture_sample,
+        split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = mixture_sample(
+        docs,
+        source_col="source",
+        weights={"src0": 2.5, "src1": 0.0, "src2": 0.4},
+        default_weight=1.0,
+        key_col="doc_id",
+    )
+    final = split_assign(
+        mixed.withColumn("k", F.col("doc_id").cast("string")), key_col="k"
+    )
+    return (
+        final.groupBy("source", "split", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("source", "split", "epoch")
+    )
+
+
 def _q_rolling_hash(spark, sf_dir):
     """Rolling-hash document fingerprint (polynomial char fold)."""
     from docling_jobkit_spark.functions.scalar import rolling_hash
@@ -1103,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_features": _q_doc_features,
         "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
         "bpe_token_count": _q_bpe_token_count,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_split": _q_mixture_split,
     }
 
 
