@@ -34,7 +34,9 @@ All failure modes become structured results, never exceptions
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from docling_jobkit_spark.extractor import tokenizer as tok
 from docling_jobkit_spark.extractor.errors import (
@@ -87,6 +89,7 @@ PROFILES: dict[str, ExtractionProfile] = {
 }
 
 PAGE_BREAK = b"<!--PAGE_BREAK-->"
+_PAGE_BREAK_STR = PAGE_BREAK.decode("ascii")
 PAGE_JOIN = "\f"
 
 STATUS_SUCCESS = "SUCCESS"
@@ -96,8 +99,13 @@ STATUS_FAILURE = "FAILURE"
 _GOOD, _SHORT, _BAD, _HEADING = 2, 1, 0, 3
 
 
-@dataclass(frozen=True)
-class Span:
+class Span(NamedTuple):
+    """A kept block's offsets + structural context. NamedTuple (not a
+    frozen dataclass): ~2x cheaper to construct per block, and — being a
+    real tuple — it crosses the Arrow boundary as a struct value with no
+    per-span dict materialization (pyarrow accepts tuples for struct
+    columns)."""
+
     start: int
     end: int
     kind: str
@@ -213,6 +221,32 @@ def _extract_single_page(
     return "\n\n".join(parts), spans
 
 
+def _extract_pages_str(
+    pages: list[str], profile: ExtractionProfile
+) -> tuple[str, list[Span]]:
+    """Shared per-page loop over ALREADY-DECODED page strings. The
+    offset-0 branch reuses the first page's Span objects unchanged
+    (shifting by zero would rebuild identical tuples — single-page
+    documents, the common case, now allocate each Span exactly once)."""
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for page in pages:
+        text, page_spans = _extract_single_page(page, profile)
+        if parts:
+            offset += len(PAGE_JOIN)
+        if offset:
+            spans.extend(
+                Span(s.start + offset, s.end + offset, s.kind, s.path)
+                for s in page_spans
+            )
+        else:
+            spans.extend(page_spans)
+        parts.append(text)
+        offset += len(text)
+    return PAGE_JOIN.join(parts), spans
+
+
 def extract_page_range(
     html: bytes,
     page_lo: int,
@@ -228,20 +262,10 @@ def extract_page_range(
     n = len(pages)
     lo = max(1, page_lo)
     hi = min(n, page_hi)
-    parts: list[str] = []
-    spans: list[Span] = []
-    offset = 0
-    for idx in range(lo - 1, hi):
-        text, page_spans = _extract_single_page(
-            pages[idx].decode("utf-8", errors="replace"), profile
-        )
-        if parts:
-            offset += len(PAGE_JOIN)
-        for s in page_spans:
-            spans.append(Span(s.start + offset, s.end + offset, s.kind, s.path))
-        parts.append(text)
-        offset += len(text)
-    return PAGE_JOIN.join(parts), spans, n
+    text, spans = _extract_pages_str(
+        [p.decode("utf-8", errors="replace") for p in pages[lo - 1 : hi]], profile
+    )
+    return text, spans, n
 
 
 def extract(
@@ -290,18 +314,33 @@ def extract(
                         PHASE_ADMISSION,
                     ),
                 )
-        had_decode_errors = False
+        # one strict decode doubles as validity probe AND payload decode:
+        # for valid UTF-8 (the overwhelming case) splitting the DECODED
+        # string on the ASCII page marker is byte-identical to splitting
+        # the bytes then replace-decoding each page (ASCII substrings
+        # cannot align inside multi-byte sequences, and errors="replace"
+        # equals strict on valid input) — saves a second full-payload
+        # decode per document
+        decoded: str | None
         try:
-            html.decode("utf-8", errors="strict")
+            decoded = html.decode("utf-8", errors="strict")
+            had_decode_errors = False
         except UnicodeDecodeError:
+            decoded = None
             had_decode_errors = True
 
         if isinstance(profile, str):
             profile = PROFILES[profile]
-        import time as _time
+        if profile is None:
+            profile = PROFILES["default"]
 
         t0 = _time.perf_counter()
-        text, spans, n_pages = extract_page_range(html, 1, 1 << 30, profile)
+        if decoded is not None:
+            pages = decoded.split(_PAGE_BREAK_STR)
+            n_pages = len(pages)
+            text, spans = _extract_pages_str(pages, profile)
+        else:
+            text, spans, n_pages = extract_page_range(html, 1, 1 << 30, profile)
         timings = {"extract": _time.perf_counter() - t0}
         if not text:
             return ExtractResult(

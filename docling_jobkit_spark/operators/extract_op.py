@@ -143,7 +143,9 @@ def _extract_batches(
             out["url"].append(url)
             out["status"].append(res.status)
             out["extracted_text"].append(res.text)
-            out["spans"].append([s.as_dict() for s in res.spans])
+            # Span is a NamedTuple: pyarrow converts tuples to struct
+            # values directly — no per-span dict materialization
+            out["spans"].append(res.spans)
             out["error"].append(res.error.as_dict() if res.error else None)
             out["n_pages"].append(res.n_pages)
             out["n_bytes"].append(len(payload) if payload is not None else 0)

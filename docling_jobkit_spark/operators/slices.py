@@ -176,7 +176,7 @@ def _extract_slice_batches(
                 out["timings"].append({"extract": _time.perf_counter() - t0})
                 out["status"].append("SUCCESS" if clean else "PARTIAL_SUCCESS")
                 out["extracted_text"].append(text)
-                out["spans"].append([s.as_dict() for s in spans])
+                out["spans"].append(spans)  # Span NamedTuples → Arrow structs
                 out["error"].append(None)
             except Exception as exc:
                 out["status"].append("FAILURE")

@@ -241,6 +241,27 @@ def pack_sequences(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: Iterable[str] = ("doc_id",),
+    salt: str = "shuffle-v1",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global training order: sort by a sha256-derived key
+    of the row identity. Reproducible under any partitioning (unlike
+    ``orderBy(rand())``), and epoch-aware — include ``epoch`` from
+    ``mixture_sample`` in ``key_cols`` and each epoch's copies land in
+    different positions, which is exactly the "reshuffle every epoch"
+    training-loader contract. Cost: the one range-partition exchange any
+    total ordering pays; at 100 TB this is the final sort before the
+    shard sink and AQE sizes the ranges from runtime statistics."""
+    key_cols = list(key_cols)
+    k = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    return df.withColumn(out_col, stable_hash64(k)).orderBy(out_col)
+
+
 def packed_sequence_stats(assigned: DataFrame, budget: int) -> DataFrame:
     """Per-sequence packing summary: chunk count, token total, fill
     ratio — the packing-efficiency report a training pipeline monitors

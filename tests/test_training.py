@@ -263,3 +263,36 @@ def test_pack_rejects_duplicate_order_keys(spark):
 def test_pack_rejects_bad_budget(chunks):
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(chunks, budget=0)
+
+
+# ------------------------------------------------------------- shuffle
+
+
+def test_deterministic_shuffle_matches_duckdb_order(docs, sf_dir):
+    from docling_jobkit_spark.operators.training import deterministic_shuffle
+
+    out = deterministic_shuffle(docs, key_cols=("doc_id",)).select("doc_id")
+    got = [r["doc_id"] for r in out.collect()]
+    sql = f"""
+        select doc_id from '{sf_dir}/documents.parquet'
+        order by ('0x' || substr(sha256(doc_id::varchar || '|shuffle-v1'), 1, 14))::ubigint
+    """
+    want = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert got == want
+    assert got != sorted(got)  # it actually shuffles
+
+
+def test_deterministic_shuffle_is_epoch_aware(docs):
+    from docling_jobkit_spark.operators.training import (
+        deterministic_shuffle,
+        mixture_sample,
+    )
+
+    mixed = mixture_sample(docs, source_col="source", weights={"src0": 2.0})
+    out = deterministic_shuffle(mixed, key_cols=("doc_id", "epoch"))
+    order = [(r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()]
+    # copies of the same doc do not ride adjacent: epochs interleave
+    adjacent_same_doc = sum(
+        1 for a, b in zip(order, order[1:]) if a[0] == b[0]
+    )
+    assert adjacent_same_doc < len(order) // 10
