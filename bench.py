@@ -75,6 +75,8 @@ HEADLINE_QUERIES = [
     "pii_redact",
     "gopher_filter",
     "minhash_clusters",
+    "pack_sequences",
+    "mixture_split",
 ]
 
 
