@@ -980,6 +980,51 @@ def _q_mixture_split(spark, sf_dir):
     )
 
 
+def _q_training_set(spark, sf_dir):
+    """End-to-end training-set assembly (plans/training_set.py): split →
+    train-only mixture → chunk-once → pack → shuffle, reported as the
+    per-split build summary (the log line a data-build job emits).
+    Rows-only: the lineage contains the packing recurrence; every stage
+    has its own exact test (DuckDB twins for split/mixture, reference
+    implementation for packing) and the composite is pinned end-to-end
+    in tests/test_training_set.py (leakage, budget, determinism,
+    shard roundtrip)."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.operators.training import packed_sequence_stats
+    from docling_jobkit_spark.plans.training_set import (
+        TrainingSetConfig,
+        assemble_training_set,
+    )
+
+    cfg = TrainingSetConfig(
+        weights={"src0": 2.0, "src1": 0.0},
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        chunk_tokens=32,
+        budget=256,
+        num_groups=8,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    splits = assemble_training_set(docs, cfg)
+    parts = []
+    for name, df in splits.items():
+        agg = df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            (
+                F.countDistinct("pack_group", "seq_index")
+                if name == "train"
+                else F.lit(None)
+            ).cast("long").alias("n_sequences"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("split")
+
+
 def _q_rolling_hash(spark, sf_dir):
     """Rolling-hash document fingerprint (polynomial char fold)."""
     from docling_jobkit_spark.functions.scalar import rolling_hash
@@ -1167,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "pack_sequences": _q_pack_sequences,
         "mixture_split": _q_mixture_split,
+        "training_set": _q_training_set,
     }
 
 
