@@ -360,6 +360,10 @@ def _recorded_scaling(bench_md_text: str | None = None) -> dict:
     }
     if passes:
         out["scaling_eff_best_clean"] = max(passes)
+        # the most recent campaign that PASSED the clean-round gate: a
+        # trailing degraded-host FAIL (an overnight retry campaign with
+        # zero clean windows) must not hide a same-day clean PASS
+        out["scaling_eff_last_pass"] = passes[-1]
     if clean_counts:
         out["scaling_clean_rounds_last"] = int(clean_counts[-1])
     if levels:

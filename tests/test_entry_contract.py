@@ -131,6 +131,7 @@ def test_bench_scaling_fields_are_labeled():
     )
     out = _recorded_scaling(md)
     assert out["scaling_eff_best_clean"] == 0.954
+    assert out["scaling_eff_last_pass"] == 0.954
     assert out["scaling_eff_last_campaign"] == 0.352
     assert out["scaling_clean_rounds_last"] == 0
     assert out["scaling_levels"] == "4v16"
