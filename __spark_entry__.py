@@ -980,6 +980,18 @@ def _q_mixture_split(spark, sf_dir):
     )
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Per-language dataset-card summary (docs/words/share/global
+    exact-dup footprint) — the numbers a corpus release publishes.
+    One text scan (hash + token count in the same projection,
+    materialized once); only hashes and per-lang counters shuffle.
+    Rows-only (window full); the EXACT DuckDB twin is pinned in
+    tests/test_corpus_report.py along with a single-scan plan test."""
+    from docling_jobkit_spark.operators.textstats import corpus_report
+
+    return corpus_report(_read(spark, sf_dir, "documents")).orderBy("lang")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1213,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mixture_split": _q_mixture_split,
         "training_set": _q_training_set,
+        "corpus_report": _q_corpus_report,
     }
 
 

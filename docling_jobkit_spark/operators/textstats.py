@@ -235,3 +235,57 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fingerprint(text_col)).withColumn(
         "norm_text", normalized_text(text_col)
     )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Dataset-card summary: one row per language with document/word
+    counts, corpus share, and the exact-duplicate footprint (docs whose
+    canonical content_hash appears more than once ANYWHERE in the
+    corpus, attributed to the language of each copy) — the numbers a
+    corpus release publishes next to the download link.
+
+    Plan shape at 100 TB: ONE scan of the text (hash + token count
+    computed in the same projection), then only (hash) and small
+    (lang, counters) rows shuffle — the duplicate detection is a
+    groupBy on the uniform sha256 hash followed by a hash-only
+    join-back (the segment-dedup pattern), never a payload shuffle.
+    The final per-language rollup is a handful of rows."""
+    from pyspark.sql import Window
+
+    from docling_jobkit_spark.functions.scalar import content_hash, token_count
+
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).alias("_w"),
+        content_hash(F.col(text_col)).alias("_h"),
+    )
+    # multi-consumer intermediate: materialize once (repo invariant —
+    # interpreted expression chains recompute per consumer otherwise)
+    base = base.localCheckpoint(eager=True)
+    dup_hashes = (
+        base.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > 1)
+        .select("_h")
+    )
+    flagged = base.join(dup_hashes, "_h", "left_semi").groupBy(
+        "lang"
+    ).agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    per_lang = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.round(F.avg("_w"), 6).alias("mean_words_per_doc"),
+    )
+    total = Window.partitionBy()
+    return (
+        per_lang.join(flagged, "lang", "left")
+        .withColumn("n_dup_docs", F.coalesce("n_dup_docs", F.lit(0)).cast("long"))
+        .withColumn(
+            "pct_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6),
+        )
+        .select(
+            "lang", "n_docs", "pct_docs", "n_words",
+            "mean_words_per_doc", "n_dup_docs",
+        )
+    )
