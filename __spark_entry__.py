@@ -992,6 +992,33 @@ def _q_corpus_report(spark, sf_dir):
     return corpus_report(_read(spark, sf_dir, "documents")).orderBy("lang")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells → within-cell
+    pairwise cosine → drop everything within tau of an earlier-ranked
+    (farther-from-centroid) vector. Trained codebook → iterative →
+    rows-only; the EXACT DuckDB twin (fixed centroids) plus keep-rule
+    and no-cartesian plan tests are pinned in tests/test_semdedup.py.
+    Returns the per-cell kept/dropped rollup a curation job reports."""
+    from docling_jobkit_spark.operators.semdedup import (
+        semantic_dedup_summary,
+        semantic_duplicates,
+    )
+    from docling_jobkit_spark.operators.similarity import kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal (max within-label
+    # cosine ≈ 0.45) — union a shifted-id replay of every 8th vector to
+    # model the re-crawled-batch scenario SemDeDup exists for, so the
+    # summary actually shows drops (cos=1.0 exact semantic twins)
+    n = emb.count()
+    replay = emb.where(F.col("vec_id") % 8 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(n)
+    )
+    corpus = emb.unionByName(replay)
+    cents = kmeans_centroids(emb, k=8, n_iter=4, sample_n=512)
+    return semantic_dedup_summary(semantic_duplicates(corpus, cents, tau=0.8))
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1226,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_split": _q_mixture_split,
         "training_set": _q_training_set,
         "corpus_report": _q_corpus_report,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
