@@ -1019,6 +1019,37 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_summary(semantic_duplicates(corpus, cents, tau=0.8))
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM-quality split: train a pruned add-k bigram model
+    on the corpus, score every document's perplexity (quantized logp →
+    engine-exact), bucket at exact tercile cutoffs, and report the
+    per-bucket rollup a curation job logs. Rows-only: the cutoffs come
+    from a trained model + exact percentiles (two-phase, not one SQL
+    statement); the per-doc EXACT DuckDB twin (training + scoring end
+    to end, OOV exercised) is pinned in tests/test_lm_score.py."""
+    from docling_jobkit_spark.operators.lm_score import (
+        perplexity_cutoffs,
+        ppl_bucket,
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs, vocab_size=4096, max_bigrams=262144)
+    scored = score_perplexity(docs, lm).localCheckpoint(eager=True)
+    h, t = perplexity_cutoffs(scored)
+    return (
+        scored.select("ppl", "n_bigrams", ppl_bucket("ppl", h, t))
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("mean_ppl"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("ppl_bucket")
+    )
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1254,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": _q_training_set,
         "corpus_report": _q_corpus_report,
         "semantic_dedup": _q_semantic_dedup,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
