@@ -77,6 +77,8 @@ HEADLINE_QUERIES = [
     "minhash_clusters",
     "pack_sequences",
     "mixture_split",
+    "semantic_dedup",
+    "lm_perplexity",
 ]
 
 
