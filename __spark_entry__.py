@@ -1050,6 +1050,33 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) over a deterministic
+    lined derivation of the documents corpus: line filter (terminal
+    punctuation, >=5 words, javascript), page gates (>=3 kept lines,
+    lorem ipsum, curly brace), then corpus-wide three-line-span dedup
+    keeping the first occurrence. Output is the per-doc edit ledger with
+    the cleaned text hashed (sha256 prefix) so the driver's value-hash
+    covers the byte content without shipping it. Rows-only (the oracle
+    window is full); the EXACT DuckDB twins for both stages are pinned
+    in tests/test_c4.py along with plan-shape tests (zero-exchange line
+    filter; span dedup shuffles hashes, never text)."""
+    from docling_jobkit_spark.functions.scalar import url_hash_key
+    from docling_jobkit_spark.operators.c4_filters import (
+        c4_clean,
+        lined_documents,
+    )
+
+    lined = lined_documents(_read(spark, sf_dir, "documents"))
+    out = c4_clean(lined)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed_lines",
+        url_hash_key(F.col("clean_text"), 12).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1286,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "c4_clean": _q_c4_clean,
     }
 
 

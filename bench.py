@@ -79,6 +79,7 @@ HEADLINE_QUERIES = [
     "mixture_split",
     "semantic_dedup",
     "lm_perplexity",
+    "c4_clean",
 ]
 
 
