@@ -1077,6 +1077,26 @@ def _q_c4_clean(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-n-gram
+    multinomials on a TARGET slice (docs the lang-ID heuristic calls
+    English — the 'match my domain' use case) and on the raw corpus,
+    weight every doc by the quantized log-ratio, select top-k via
+    deterministic Gumbel keys. Rows-only (two trained dims + the window
+    is full); the EXACT end-to-end DuckDB twin (hash-split target) is
+    pinned in tests/test_dsir.py with discrimination + plan tests."""
+    from docling_jobkit_spark.operators.dsir import (
+        dsir_sample,
+        train_hashed_dist,
+    )
+    from docling_jobkit_spark.operators.textstats import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    target = train_hashed_dist(docs.where(lang_id("text") == "en"))
+    raw = train_hashed_dist(docs)
+    return dsir_sample(docs, target, raw, k=100).orderBy("rank")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1314,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "c4_clean": _q_c4_clean,
+        "dsir_select": _q_dsir_select,
     }
 
 

@@ -80,6 +80,7 @@ HEADLINE_QUERIES = [
     "semantic_dedup",
     "lm_perplexity",
     "c4_clean",
+    "dsir_select",
 ]
 
 
