@@ -607,6 +607,51 @@ def _synth_url() -> F.Column:
     )
 
 
+def _synth_messy_url() -> F.Column:
+    """Deterministic per-doc MESSY url for the canonicalization family:
+    canonical identity is keyed by doc_id % 350 (so ~150 of 500 docs are
+    canonical duplicates, spread over 5 hosts), while case noise
+    (HTTPS/upper host), default :443 ports, tracking params, and
+    fragments are keyed by doc_id — junk differs, identity doesn't."""
+    k = F.col("doc_id") % 350
+    hostbase = F.concat(F.lit("h"), (k % 5).cast("string"), F.lit(".example.org"))
+    host = F.when(F.col("doc_id") % 3 == 0, F.upper(hostbase)).otherwise(hostbase)
+    port = F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    scheme = F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    frag = F.when(F.col("doc_id") % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    tracking = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("&utm_campaign=x&gclid=g")
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/p/"), k.cast("string"),
+        F.lit(".html?id="), k.cast("string"), tracking, frag,
+    )
+
+
+def _q_web_canonical_cap(spark, sf_dir):
+    """Crawl-frontier URL hygiene pipeline: canonicalize (RFC 3986 §6
+    syntax normalization + tracking-param strip) → keep first doc per
+    canonical url → RefinedWeb-style per-host cap on the survivors.
+    Output is the survivors' per-doc ledger. Rows-only (window full);
+    EXACT DuckDB twins for every stage are pinned in
+    tests/test_webcanon.py along with plan-shape tests."""
+    from docling_jobkit_spark.operators.webfilter import (
+        canonical_url_dedup,
+        host_cap,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .withColumn("url", _synth_messy_url())
+    )
+    deduped = canonical_url_dedup(docs).where("url_canon_keep")
+    capped = host_cap(deduped, max_per_host=60, url_col="url_canonical")
+    return capped.select(
+        "doc_id", "url_canonical", "host", "host_kept"
+    ).orderBy("doc_id")
+
+
 def _q_url_filter(spark, sf_dir):
     """URL curation gate: scheme allowlist, domain blocklist (literal),
     extension blocklist — pure codegen, zero shuffles."""
@@ -1335,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "c4_clean": _q_c4_clean,
         "dsir_select": _q_dsir_select,
+        "web_canonical_cap": _q_web_canonical_cap,
     }
 
 

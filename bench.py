@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "lm_perplexity",
     "c4_clean",
     "dsir_select",
+    "web_canonical_cap",
 ]
 
 
