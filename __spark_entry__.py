@@ -1111,8 +1111,15 @@ def _q_c4_clean(spark, sf_dir):
         c4_clean,
         lined_documents,
     )
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
 
-    lined = lined_documents(_read(spark, sf_dir, "documents"))
+    # spread: the testdata file is a single row group (one scan task)
+    # and the derivation is interpreted-HOF compute; materialize: the
+    # line filter + span dedup reference the derived text several times
+    # and would re-run the derivation per reference (repo invariant).
+    lined = lined_documents(
+        spread_for_compute(_read(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
     out = c4_clean(lined)
     return out.select(
         "doc_id",
@@ -1140,6 +1147,77 @@ def _q_dsir_select(spark, sf_dir):
     target = train_hashed_dist(docs.where(lang_id("text") == "en"))
     raw = train_hashed_dist(docs)
     return dsir_sample(docs, target, raw, k=100).orderBy("rank")
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr, relational
+    re-expression): every duplicated k-token window keeps its corpus-
+    first occurrence; later occurrences' token ranges merge and are cut
+    from the doc. Per-doc edit ledger with the cleaned text hashed.
+    Rows-only (window full); the EXACT end-to-end DuckDB twin +
+    handcrafted interval-merge semantics are pinned in
+    tests/test_substring_dedup.py."""
+    from docling_jobkit_spark.functions.scalar import url_hash_key
+    from docling_jobkit_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    out = exact_substring_dedup(_read(spark, sf_dir, "documents"), k=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        url_hash_key(F.col("clean_text"), 12).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+def _q_snapshot_delta(spark, sf_dir):
+    """CDC-style crawl-snapshot delta: derived old (ids < 400) and new
+    (ids >= 100, %10 texts edited) snapshots of the documents table →
+    per-key added/changed/unchanged/removed ledger keyed on the repo-
+    canonical content_hash. Only (key, sha) shuffles. Rows-only (window
+    full); EXACT DuckDB twin + worklist semantics pinned in
+    tests/test_snapshot.py."""
+    from docling_jobkit_spark.operators.snapshot import snapshot_delta
+
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = base.where("doc_id < 400")
+    new = base.where("doc_id >= 100").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" changed")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_delta(old, new).orderBy("doc_id")
+
+
+def _q_bloom_seen(spark, sf_dir):
+    """Bloom seen-set: build the packed (word_idx, bits) filter over the
+    first half's urls, probe every doc — the crawl-frontier membership
+    sketch (no false negatives; hits fall back to the exact resume
+    anti-join). Rows-only (window full); EXACT DuckDB twin of build AND
+    probe + the no-false-negative guarantee pinned in
+    tests/test_bloom.py."""
+    from docling_jobkit_spark.operators.bloom import bloom_probe, build_bloom
+
+    keyed = _read(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    bloom = build_bloom(
+        keyed.where("doc_id < 250"), n_bits=4096, k_hashes=5
+    ).localCheckpoint(eager=True)
+    return (
+        bloom_probe(keyed, bloom, n_bits=4096, k_hashes=5)
+        .select("doc_id", "bloom_maybe_seen")
+        .orderBy("doc_id")
+    )
 
 
 def _q_training_set(spark, sf_dir):
@@ -1381,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "dsir_select": _q_dsir_select,
         "web_canonical_cap": _q_web_canonical_cap,
+        "substring_dedup": _q_substring_dedup,
+        "snapshot_delta": _q_snapshot_delta,
+        "bloom_seen": _q_bloom_seen,
     }
 
 

@@ -82,6 +82,9 @@ HEADLINE_QUERIES = [
     "c4_clean",
     "dsir_select",
     "web_canonical_cap",
+    "substring_dedup",
+    "snapshot_delta",
+    "bloom_seen",
 ]
 
 

@@ -265,11 +265,17 @@ def lined_documents(
     expressions, no RNG — the same doc always derives the same lined
     text under any partitioning.
 
-    Shape note: the boundary rule is integer-only (the first draft used
-    sha256 per token position, and Catalyst re-inlines the boundary
-    array per line reference — 35k sha256/doc); the per-line sha runs
-    inside a NESTED transform chain so raw text and its hash are
-    computed once per line, never once per downstream reference."""
+    Shape note: every expensive subexpression is referenced O(1) times
+    per ROW, never per line — interpreted higher-order functions
+    re-evaluate a referenced subtree on EVERY reference (the first
+    draft's ``F.get(bnds, j-1)`` inside the line lambda re-ran the
+    boundary filter per line: measured 12 ms/doc; the zip_with
+    (prev, end) pairing below references the boundary array 3 times per
+    row total and runs ~20x faster). The boundary rule itself is
+    integer-only (an earlier draft's sha256-per-position was 35k
+    sha/doc after re-inlining); the per-line sha runs inside a NESTED
+    transform chain so raw text and its hash are computed once per
+    line, never once per downstream reference."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     # Knuth 32-bit odd-constant multiply (no 64-bit overflow under ANSI
@@ -288,16 +294,23 @@ def lined_documents(
         )
         | (i == n),
     )
-    raw_j = F.transform(
+    # (prev-boundary, end-boundary) pairs: line i spans tokens
+    # prevs[i]+1 .. bnds[i]. bnds is referenced 3x per row (zip input,
+    # slice, size) instead of twice per line.
+    prevs = F.concat(
+        F.array(F.lit(0)),
+        F.slice(bnds, 1, F.greatest(F.size(bnds) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs,
         bnds,
-        lambda e, j: F.struct(
+        lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+    )
+    raw_j = F.transform(
+        pairs,
+        lambda p, j: F.struct(
             F.concat_ws(
-                " ",
-                F.slice(
-                    toks,
-                    F.coalesce(F.get(bnds, j - 1), F.lit(0)) + 1,
-                    e - F.coalesce(F.get(bnds, j - 1), F.lit(0)),
-                ),
+                " ", F.slice(toks, p["s"] + 1, p["e"] - p["s"])
             ).alias("raw"),
             j.cast("string").alias("j"),
         ),
