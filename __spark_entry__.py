@@ -1220,6 +1220,36 @@ def _q_bloom_seen(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Link-graph PageRank (Brin & Page 1998; the Common-Crawl-style
+    host-centrality quality prior): deterministic hash-derived doc graph
+    (two out-edges per doc), 10 quantized power iterations —
+    contributions round to scaled longs BEFORE summing, so every
+    iteration is an exact integer aggregation (partitioning- and
+    engine-exact). Rows-only (iterative); the bit-exact pure-Python
+    reference + known-graph semantics are pinned in
+    tests/test_linkgraph.py."""
+    from docling_jobkit_spark.operators.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(
+            F.shiftrightunsigned(F.col("doc_id") * F.lit(2654435761), 15),
+            F.lit(n),
+        ).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(
+            F.shiftrightunsigned(F.col("doc_id") * F.lit(40503), 7), F.lit(n)
+        ).alias("dst"),
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    return pagerank(edges).orderBy("node")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1462,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "snapshot_delta": _q_snapshot_delta,
         "bloom_seen": _q_bloom_seen,
+        "pagerank": _q_pagerank,
     }
 
 

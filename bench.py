@@ -85,6 +85,7 @@ HEADLINE_QUERIES = [
     "substring_dedup",
     "snapshot_delta",
     "bloom_seen",
+    "pagerank",
 ]
 
 

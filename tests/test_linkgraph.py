@@ -1,0 +1,131 @@
+"""Link-graph centrality (operators/linkgraph.py): exact pure-Python
+reference of the quantized power iteration, known-graph semantics,
+in-degree twin, determinism, and plan pins."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.operators.linkgraph import (
+    _QUANT,
+    in_degree,
+    pagerank,
+)
+
+DAMP = 0.85
+ITER = 10
+
+
+def _round_half_up(x: float) -> int:
+    # Spark round(double, 0) = BigDecimal.valueOf(double).setScale(0,
+    # HALF_UP); BigDecimal.valueOf goes through Double.toString, which
+    # repr() reproduces.
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _reference_pagerank(edges, n_iter=ITER, damping=DAMP):
+    """Bit-exact mirror of the operator's scaled-long iteration."""
+    import math
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    init_q = int(math.floor(1.0 / n / _QUANT + 0.5))
+    teleport_q = int(math.floor((1.0 - damping) / n / _QUANT + 0.5))
+    rq = {v: init_q for v in nodes}
+    for _ in range(n_iter):
+        dangling_q = sum(rq[v] for v in nodes if deg[v] == 0)
+        dangling_share_q = int(math.floor(float(dangling_q) * damping / n + 0.5))
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += _round_half_up(rq[s] * damping / deg[s])
+        rq = {v: teleport_q + dangling_share_q + incoming[v] for v in nodes}
+    return {v: rq[v] * _QUANT for v in nodes}
+
+
+def _synth_edges(n_docs=500):
+    """Deterministic per-doc edge pair (the entry uses the same rule)."""
+    edges = []
+    for i in range(n_docs):
+        edges.append((i, (i * 2654435761 >> 15) % n_docs))
+        edges.append((i, (i * 40503 >> 7) % n_docs))
+    return [(s, d) for s, d in edges if s != d]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(_synth_edges(), "src long, dst long")
+
+
+def test_pagerank_matches_python_reference_exactly(edges_df):
+    got = {r["node"]: r["pr"] for r in pagerank(edges_df).collect()}
+    want = _reference_pagerank(_synth_edges())
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-15), v
+
+
+def test_mass_conserved(edges_df):
+    total = pagerank(edges_df).agg(F.sum("pr")).collect()[0][0]
+    # total mass 1 up to per-node quantization (<= n * 1e-12 drift)
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_star_graph_center_wins(spark):
+    leaves = list(range(1, 9))
+    edges = [(v, 0) for v in leaves] + [(0, v) for v in leaves]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+    assert pr[0] > max(pr[v] for v in leaves) * 2
+
+
+def test_cycle_is_uniform(spark):
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = [r["pr"] for r in pagerank(df).collect()]
+    assert max(pr) - min(pr) < 1e-9
+
+
+def test_dangling_mass_redistributed(spark):
+    # 1 -> 2, 2 dangling: total mass must still be ~1
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[2] > pr[1]
+
+
+def test_deterministic_under_repartition(edges_df):
+    a = sorted(tuple(r) for r in pagerank(edges_df).collect())
+    b = sorted(tuple(r) for r in pagerank(edges_df.repartition(13)).collect())
+    assert a == b
+
+
+def test_in_degree_matches_duckdb(spark, edges_df):
+    got = sorted(tuple(r) for r in in_degree(edges_df).collect())
+    rows = _synth_edges()
+    con = duckdb.connect()
+    con.execute("create table e (src bigint, dst bigint)")
+    con.executemany("insert into e values (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            "select dst as node, count(*)::bigint from e group by 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_plan_no_cartesian(edges_df):
+    plan = (
+        pagerank(edges_df, n_iter=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
