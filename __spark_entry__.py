@@ -1149,6 +1149,30 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_sample(docs, target, raw, k=100).orderBy("rank")
 
 
+def _q_quality_filter(spark, sf_dir):
+    """GPT-3-style quality filtering (Brown et al. 2020, Appendix A):
+    train a Naive-Bayes quality classifier on labeled seeds (positives =
+    docs the corpus labels 'en', negatives = the rest), score every doc
+    with the quantized NB log-odds posterior, then apply the stochastic
+    Pareto keep rule (keep ⟺ deterministic pareto(alpha) draw >
+    1 - p_quality) so low scorers survive at a controlled rate instead
+    of a hard cutoff. Rows-only (two trained dims + the window is full);
+    the EXACT end-to-end DuckDB twin (train→score→keep) is pinned in
+    tests/test_quality_clf.py with discrimination + plan tests."""
+    from docling_jobkit_spark.operators.quality_clf import (
+        pareto_filter,
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    clf = train_quality_classifier(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+    return pareto_filter(quality_scores(docs, clf)).orderBy("doc_id")
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2021 ExactSubstr, relational
     re-expression): every duplicated k-token window keeps its corpus-
@@ -1493,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "bloom_seen": _q_bloom_seen,
         "pagerank": _q_pagerank,
+        "quality_filter": _q_quality_filter,
     }
 
 

@@ -86,6 +86,7 @@ HEADLINE_QUERIES = [
     "snapshot_delta",
     "bloom_seen",
     "pagerank",
+    "quality_filter",
 ]
 
 
