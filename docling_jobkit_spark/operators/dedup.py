@@ -36,14 +36,52 @@ from docling_jobkit_spark.functions.scalar import (
     tokens,
 )
 
-# (a,b) pairs for 16 permutations × 4 rows/band = 64 minhashes; fixed odd
-# multipliers (any odd a works mod 2^61-1 prime field)
+# 16 bands × 4 rows/band = 64 minhash channels over the 2^61-1 prime
+# field. Each channel's permutation is h_i(x) = (hi(x)·A_i + lo(x)·C_i
+# + B_i) mod p over the TWO 30-bit halves of a 60-bit sha base hash —
+# the products reach ~2^61 so the mod genuinely wraps and each channel
+# ranks the shingles differently (with small single-coefficient
+# multipliers the affine map is monotone in x — no wrap — and all 64
+# channels pick the SAME global-min shingle: a degenerate signature
+# whose agreement is always 0/64 or 64/64 and whose per-band collision
+# probability collapses from j^r to j; measured against salted-sha
+# ideal MinHash this family estimates Jaccard with the theoretical
+# sqrt(j(1-j)/64) error). Overflow-free by construction: hi,lo < 2^30,
+# A,C < 2^31 → each product < 2^61, the 3-term sum < 2^63 — exact in a
+# signed long in Spark, DuckDB, and Python alike.
 MINHASH_PRIME = (1 << 61) - 1
 N_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = N_HASHES // BANDS
-_A = [2 * i + 1 for i in range(1, N_HASHES + 1)]          # 3,5,7,...
-_B = [(i * i * 2654435761) % MINHASH_PRIME for i in range(N_HASHES)]
+_BASE_BITS = 60
+_HALF = 1 << 30
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(seed: int):
+    """splitmix64 (Steele et al. 2014, public constants) — deterministic
+    stream for the permutation coefficients; pure Python ints."""
+    s = seed & _M64
+    while True:
+        s = (s + 0x9E3779B97F4A7C15) & _M64
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        yield z ^ (z >> 31)
+
+
+def _perm_consts() -> list[tuple[int, int, int]]:
+    g = _splitmix64(0x6D696E68617368)  # b"minhash"
+    out = []
+    for _ in range(N_HASHES):
+        a = _HALF | (next(g) % _HALF) | 1  # odd, in [2^30, 2^31)
+        c = _HALF | (next(g) % _HALF) | 1
+        b = next(g) % (1 << 60)
+        out.append((a, c, b))
+    return out
+
+
+_PERMS = _perm_consts()
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -355,9 +393,9 @@ def minhash_signature_from_shingles(sh_col):
     """Signature from an ALREADY-COMPUTED shingle column — lets pipelines
     that also need the raw shingles (verification) tokenize once."""
     sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
-    # 52-bit base hashes: 2^52 * max(a)=129 + b stays far below 2^63 — the
-    # permutation arithmetic can never overflow a signed long
-    base_hashes = F.transform(sh, lambda s: stable_hash64(s, bits=52))
+    # 60-bit base hash split into two 30-bit halves; see the family
+    # derivation at the _PERMS definition (overflow-free, wraps mod p)
+    base_hashes = F.transform(sh, lambda s: stable_hash64(s, bits=_BASE_BITS))
     # SINGLE PASS over the shingle hashes, updating all 64 minima at once.
     # The naive form (64 × array_min(transform(base_hashes, perm_i))) makes
     # Catalyst re-evaluate the whole tokenize→shingle→sha256 chain per
@@ -365,21 +403,33 @@ def minhash_signature_from_shingles(sh_col):
     consts = F.array(
         *[
             F.struct(
-                F.lit(_A[i]).cast("long").alias("a"),
-                F.lit(_B[i] % (1 << 60)).cast("long").alias("b"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(c).cast("long").alias("c"),
+                F.lit(b).cast("long").alias("b"),
             )
-            for i in range(N_HASHES)
+            for a, c, b in _PERMS
         ]
     )
     init = F.transform(
         F.sequence(F.lit(1), F.lit(N_HASHES)),
         lambda _: F.lit((1 << 62)).cast("long"),
     )
+    half_mask = F.lit(_HALF - 1).cast("long")
     return F.aggregate(
         base_hashes,
         init,
         lambda acc, x: F.zip_with(
-            acc, consts, lambda m, c: F.least(m, (x * c.a + c.b) % MINHASH_PRIME)
+            acc,
+            consts,
+            lambda m, k: F.least(
+                m,
+                (
+                    F.shiftright(x, 30) * k.a
+                    + x.bitwiseAND(half_mask) * k.c
+                    + k.b
+                )
+                % MINHASH_PRIME,
+            ),
         ),
     )
 

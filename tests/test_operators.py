@@ -67,6 +67,30 @@ def test_minhash_and_simhash_agree_on_dups(spark, docs):
     assert m1 == m2 and len(m1) == 64
 
 
+def test_minhash_channels_are_independent(spark):
+    """Regression: partial shingle overlap must give PARTIAL signature
+    agreement roughly tracking Jaccard. The original (a·x+b) family had
+    a ≤ 129 and b < 2^44, so a·x+b never wrapped mod 2^61-1 — every
+    channel was monotone in x and picked the SAME global-min shingle:
+    agreement was always 0/64 or 64/64 and per-band LSH collision
+    collapsed from j^4 to j."""
+    from docling_jobkit_spark.operators.dedup import with_minhash
+
+    full = " ".join(f"tok{i}" for i in range(60))
+    half = " ".join(f"tok{i}" for i in range(30)) + " " + " ".join(
+        f"new{i}" for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [(0, full), (1, half)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["minhash"] for r in with_minhash(df).collect()}
+    agree = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y)
+    # shingle Jaccard here is 28/88 ≈ 0.32; with 64 channels the
+    # agreement must be partial and in a generous band around it
+    assert 0 < agree < 64
+    assert 5 <= agree <= 40
+
+
 def test_brute_force_topk_exact(spark):
     from docling_jobkit_spark.operators.similarity import brute_force_topk
 
