@@ -1173,6 +1173,53 @@ def _q_quality_filter(spark, sf_dir):
     return pareto_filter(quality_scores(docs, clf)).orderBy("doc_id")
 
 
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy MinHash/LSH decontamination (Llama 2 A.6 / GPT-4 report):
+    flag corpus docs whose ESTIMATED Jaccard (signature-agreement
+    fraction over the 64 bit-exact minhash channels) with any benchmark
+    sample crosses tau — catches lightly edited eval copies the exact
+    k-gram pass misses. Benchmark here = every 7th doc truncated to its
+    first 90% of tokens (a synthetic 'edited eval copy'). Rows-only
+    (the window is full); the EXACT DuckDB twin of the bipartite
+    band-join + agreement verify is pinned in
+    tests/test_decontam_fuzzy.py."""
+    from docling_jobkit_spark.functions.scalar import tokens
+    from docling_jobkit_spark.operators.decontam import contamination_fuzzy
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    take = F.greatest(F.floor(F.size(toks) * 0.9), F.lit(1)).cast("int")
+    bench = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), take), " ").alias("text"),
+    )
+    return contamination_fuzzy(docs, bench, tau=0.7).orderBy("doc_id")
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC container source/sink (ISO 28500; the Common Crawl shard
+    format): serialize the derived pages table to per-record-gzipped
+    .warc.gz shards (one file per partition — the CC sharding unit),
+    read them back through the binaryFile-based record scanner, and
+    return per-record rows. Rows-only (filesystem roundtrip); spec
+    shapes, malformed-record resync, and payload-exact roundtrip are
+    pinned in tests/test_warc.py. Output dir is per-process (uuid'd
+    files + mkdtemp) so concurrent driver/bench runs never race."""
+    import tempfile
+
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+    from docling_jobkit_spark.sources.warc import read_warc, write_warc
+
+    out = tempfile.mkdtemp(prefix="djs_warc_")
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    write_warc(pages.repartition(8), out)
+    return (
+        read_warc(spark, out)
+        .select("target_uri", "warc_type", "http_status", "n_bytes", "error")
+        .orderBy("target_uri", "n_bytes")
+    )
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2021 ExactSubstr, relational
     re-expression): every duplicated k-token window keeps its corpus-
@@ -1518,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": _q_bloom_seen,
         "pagerank": _q_pagerank,
         "quality_filter": _q_quality_filter,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -1608,17 +1657,19 @@ _SIMHASH_CTE = """
 
 
 def _minhash_oracle_sql() -> str:
-    """Exact DuckDB twin of minhash_near_duplicates: identical 52-bit
-    sha-prefix shingle hashes, identical (a·x+b) mod p permutation
-    constants, identical banding — signatures verified bit-equal across
-    engines."""
+    """Exact DuckDB twin of minhash_near_duplicates: identical 60-bit
+    sha-prefix shingle hashes split 30/30, identical
+    (hi·A + lo·C + B) mod p permutation constants (the genuinely-
+    wrapping two-coordinate family — see dedup.py's _PERMS derivation),
+    identical banding — signatures verified bit-equal across engines."""
     from docling_jobkit_spark.operators.dedup import (
-        _A, _B, BANDS, MINHASH_PRIME, N_HASHES, ROWS_PER_BAND,
+        _HALF, _PERMS, BANDS, MINHASH_PRIME, N_HASHES, ROWS_PER_BAND,
     )
 
+    mask = _HALF - 1
     perms = ", ".join(
-        f"list_min(list_transform(hs, x -> (x * {_A[i]} + {_B[i] % (1 << 60)}) % {MINHASH_PRIME}))"
-        for i in range(N_HASHES)
+        f"list_min(list_transform(hs, x -> ((x >> 30) * {a} + (x & {mask}) * {c} + {b}) % {MINHASH_PRIME}))"
+        for a, c, b in _PERMS
     )
     r = ROWS_PER_BAND
     return f"""
@@ -1632,7 +1683,7 @@ def _minhash_oracle_sql() -> str:
           from w
         ), hs as (
           select doc_id, shingles,
-                 list_transform(shingles, s -> ('0x' || substr(sha256(s),1,13))::ubigint::bigint) as hs
+                 list_transform(shingles, s -> ('0x' || substr(sha256(s),1,15))::ubigint::bigint) as hs
           from sh
         ), sig as (
           select doc_id, shingles, [{perms}] as sig from hs

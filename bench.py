@@ -87,6 +87,8 @@ HEADLINE_QUERIES = [
     "bloom_seen",
     "pagerank",
     "quality_filter",
+    "decontaminate_fuzzy",
+    "warc_roundtrip",
 ]
 
 
