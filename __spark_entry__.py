@@ -1293,32 +1293,24 @@ def _q_bloom_seen(spark, sf_dir):
 
 def _q_pagerank(spark, sf_dir):
     """Link-graph PageRank (Brin & Page 1998; the Common-Crawl-style
-    host-centrality quality prior): deterministic hash-derived doc graph
-    (two out-edges per doc), 10 quantized power iterations —
-    contributions round to scaled longs BEFORE summing, so every
-    iteration is an exact integer aggregation (partitioning- and
-    engine-exact). Rows-only (iterative); the bit-exact pure-Python
-    reference + known-graph semantics are pinned in
-    tests/test_linkgraph.py."""
-    from docling_jobkit_spark.operators.linkgraph import pagerank
+    link-centrality quality prior), end to end FROM THE CORPUS: anchor
+    hrefs extracted from the page payloads (one codegen
+    regexp_extract_all pass), resolved against each page URL (RFC-3986
+    subset, codegen), deduplicated into (src, dst) URL edges, then 10
+    quantized power iterations — contributions round to scaled longs
+    BEFORE summing, so every iteration is an exact integer aggregation
+    (partitioning- and engine-exact). Rows-only (iterative); the
+    bit-exact pure-Python reference, known-graph semantics, the DuckDB
+    edge-extraction twin, and the boilerplate-sink sanity check are
+    pinned in tests/test_linkgraph.py."""
+    from docling_jobkit_spark.operators.linkgraph import (
+        pagerank,
+        url_link_edges,
+    )
+    from docling_jobkit_spark.sources.readers import pages_from_documents
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    e1 = docs.select(
-        F.col("doc_id").alias("src"),
-        F.pmod(
-            F.shiftrightunsigned(F.col("doc_id") * F.lit(2654435761), 15),
-            F.lit(n),
-        ).alias("dst"),
-    )
-    e2 = docs.select(
-        F.col("doc_id").alias("src"),
-        F.pmod(
-            F.shiftrightunsigned(F.col("doc_id") * F.lit(40503), 7), F.lit(n)
-        ).alias("dst"),
-    )
-    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
-    return pagerank(edges).orderBy("node")
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    return pagerank(url_link_edges(pages)).orderBy("node")
 
 
 def _q_training_set(spark, sf_dir):

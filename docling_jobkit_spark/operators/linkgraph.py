@@ -128,3 +128,74 @@ def pagerank(
     return ranks.select(
         "node", (F.col("_rq") * F.lit(_QUANT)).alias("pr")
     )
+
+
+# --- anchor extraction + URL resolution (the edges come from the corpus) ----
+# Public precedent: web-graph construction from crawl anchors (the
+# Common Crawl host/domain graphs are built exactly this way: extract
+# hrefs, resolve against the page URL, aggregate to host level).
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, href) — one row per ``href="..."`` attribute occurrence.
+    Pure codegen (one regexp_extract_all pass over the payload, no
+    UDF); the payload never shuffles — the explode output is two short
+    string columns."""
+    html = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1)
+        ).alias("href"),
+    )
+
+
+def resolve_href(base_url, href) -> "F.Column":
+    """Simplified RFC 3986 resolution, all codegen: absolute URLs pass
+    through; ``//host/...`` adopts the base scheme; ``/path`` the base
+    host; other values resolve against the base directory. Fragments,
+    empty hrefs, and non-fetchable schemes (mailto:, javascript:)
+    resolve to NULL; a trailing ``#fragment`` is stripped. (No ``..``
+    normalization — the corpus' links don't use it; documented
+    simplification.)"""
+    base = F.col(base_url) if isinstance(base_url, str) else base_url
+    h = F.trim(F.col(href) if isinstance(href, str) else href)
+    scheme = F.lower(F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(base, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(base, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    basedir = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"[^/]*$", "")
+    )
+    resolved = (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.startswith("#"), F.lit(None).cast("string"))
+        .when(
+            F.lower(h).rlike(r"^(mailto|javascript|tel|data):"),
+            F.lit(None).cast("string"),
+        )
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.concat(scheme, F.lit("://"), host, basedir, h))
+    )
+    return F.regexp_replace(resolved, r"#.*$", "")
+
+
+def url_link_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """DISTINCT resolved (src, dst) URL edges from the corpus' anchors
+    (self-links dropped) — the input unit for ``pagerank``/``in_degree``
+    and, aggregated through ``webfilter.url_columns``, for host-level
+    graphs. One narrow distinct-shuffle of two short strings."""
+    links = extract_links(pages, url_col, html_col)
+    return (
+        links.select(
+            F.col("url").alias("src"),
+            resolve_href("url", "href").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )

@@ -129,3 +129,112 @@ def test_plan_no_cartesian(edges_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- anchor extraction + URL resolution --------------------------------------
+
+
+def test_resolve_href_cases(spark):
+    from docling_jobkit_spark.operators.linkgraph import resolve_href
+    from pyspark.sql import functions as F
+
+    base = "https://ex.com/a/b/page.html"
+    cases = [
+        ("https://other.org/x", "https://other.org/x"),
+        ("//cdn.ex.com/lib.js", "https://cdn.ex.com/lib.js"),
+        ("/root.html", "https://ex.com/root.html"),
+        ("sib.html", "https://ex.com/a/b/sib.html"),
+        ("sib.html#frag", "https://ex.com/a/b/sib.html"),
+        ("#top", None),
+        ("", None),
+        ("mailto:x@y.z", None),
+        ("javascript:void(0)", None),
+        ("tel:+123", None),
+    ]
+    df = spark.createDataFrame(
+        [(base, h) for h, _ in cases], "url string, href string"
+    ).withColumn("got", resolve_href("url", "href"))
+    got = [r["got"] for r in df.collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_resolve_href_pathless_base(spark):
+    from docling_jobkit_spark.operators.linkgraph import resolve_href
+
+    df = spark.createDataFrame(
+        [("https://ex.com", "x.html")], "url string, href string"
+    ).withColumn("got", resolve_href("url", "href"))
+    assert df.collect()[0]["got"] == "https://ex.com/x.html"
+
+
+def test_url_link_edges_match_duckdb_exactly(spark, sf_dir):
+    """The extraction+resolution projection replayed in DuckDB over the
+    SAME pages (registered via Arrow) — engine-exact edge set."""
+    from docling_jobkit_spark.operators.linkgraph import url_link_edges
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    got = sorted(
+        tuple(r) for r in url_link_edges(pages).collect()
+    )
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    want = sorted(
+        con.execute(
+            r"""
+        with links as (
+          select url, unnest(regexp_extract_all(decode(html), 'href="([^"]*)"', 1)) as href
+          from pages
+        ), parts as (
+          select url, trim(href) as h,
+                 lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) as scheme,
+                 lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)) as host,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+          from links
+        ), res as (
+          select url,
+                 regexp_replace(
+                   case
+                     when h = '' then null
+                     when h like '#%' then null
+                     when regexp_matches(lower(h), '^(mailto|javascript|tel|data):') then null
+                     when regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') then h
+                     when h like '//%' then scheme || ':' || h
+                     when h like '/%' then scheme || '://' || host || h
+                     else scheme || '://' || host ||
+                          (case when path = '' then '/'
+                                else regexp_replace(path, '[^/]*$', '') end) || h
+                   end, '#.*$', '') as dst
+          from parts
+        )
+        select distinct url as src, dst from res
+        where dst is not null and dst <> url
+        order by src, dst
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_pagerank_over_real_edges(spark, sf_dir):
+    """End-to-end: corpus anchors → edges → centrality. The shared
+    boilerplate targets (/legal, /privacy) are linked from every page,
+    so they must out-rank any ordinary page (the shell links /, /x,
+    /y, /l from every page)."""
+    from docling_jobkit_spark.operators.linkgraph import (
+        pagerank,
+        url_link_edges,
+    )
+    from docling_jobkit_spark.sources.readers import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    edges = url_link_edges(pages)
+    pr = pagerank(edges, n_iter=5)
+    rows = {r["node"]: r["pr"] for r in pr.collect()}
+    legal = [v for k, v in rows.items() if k.endswith("/l")]
+    assert legal, "corpus footer must produce its /l (legal) node"
+    import statistics
+
+    assert legal[0] > 10 * statistics.median(rows.values())
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
