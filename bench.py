@@ -162,6 +162,16 @@ def _tree_cpu_stats() -> dict[int, float]:
     return {p: stats[p] for p in mine}
 
 
+def _system_busy_seconds() -> float:
+    """Whole-host busy CPU-seconds since boot (/proc/stat aggregate,
+    everything except idle+iowait) — paired with the process-tree total
+    to expose EXTERNAL load during a bench window."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
 def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
     """Whole-tree delta, floored at zero. The plain sum difference is
     EXACT whenever deaths are reaped inside the tree: a worker's direct
@@ -224,6 +234,9 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    _bench_wall0 = time.perf_counter()
+    _sys_busy0 = _system_busy_seconds()
+    _tree0 = sum(_tree_cpu_stats().values())
 
     # --- flagship: extraction throughput on the replicated corpus -------
     pages = replicated_pages(spark, SF_DIR, REPLICATE).cache()
@@ -286,6 +299,19 @@ def main() -> None:
         dt, cpu = best_of(REPEATS, lambda: _noop_write(q(spark, SF_DIR)))
         timings[name] = round(dt, 3)
         cpu_timings[name] = round(cpu, 2)
+
+    # external-load audit: CPU burned by processes OUTSIDE this bench's
+    # tree during the window. A same-day run with pytest executing
+    # concurrently recorded minhash_lsh at 160 CPU-s (real warm cost
+    # 34-38) — this field makes that failure mode visible in the
+    # artifact instead of masquerading as a regression.
+    _wall_span = max(time.perf_counter() - _bench_wall0, 1e-9)
+    _ext_cpu = max(
+        (_system_busy_seconds() - _sys_busy0)
+        - (sum(_tree_cpu_stats().values()) - _tree0),
+        0.0,
+    )
+    extras["host_ext_cores"] = round(_ext_cpu / _wall_span, 2)
 
     result_line, full_payload = build_result(
         timings, cpu_timings, extras, _recorded_scaling()

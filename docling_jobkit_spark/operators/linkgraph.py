@@ -199,3 +199,44 @@ def url_link_edges(
         .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .distinct()
     )
+
+
+def host_edges(url_edges: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the Common-Crawl-style host graph
+    aggregated from URL edges (self-host edges dropped: intra-site
+    navigation is not an endorsement signal). Input and output are
+    graph-sized; one narrow groupBy shuffle."""
+    from docling_jobkit_spark.operators.webfilter import url_columns
+
+    src_h = url_columns("src")["host"]
+    dst_h = url_columns("dst")["host"]
+    return (
+        url_edges.select(
+            src_h.alias("src_host"), dst_h.alias("dst_host")
+        )
+        .where(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def host_centrality(url_edges: DataFrame, n_iter: int = N_ITER_DEFAULT) -> DataFrame:
+    """(host, pr, in_degree) over the host graph — the quality prior web
+    corpora attach to documents (join back on
+    ``webfilter.url_columns(url)['host']``; the host dim is tiny and
+    broadcastable next to a corpus)."""
+    he = host_edges(url_edges).localCheckpoint(eager=False)
+    pr = pagerank(he, n_iter=n_iter, src="src_host", dst="dst_host")
+    deg = in_degree(he, src="src_host", dst="dst_host")
+    return (
+        pr.join(deg, on="node", how="left")
+        .select(
+            F.col("node").alias("host"),
+            "pr",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -95,6 +95,7 @@ def test_bench_result_line_fits_driver_tail_capture():
         "extract_mb_per_sec": 5123.3,
         "extract_n_docs": 1600000,
         "extract_sliced_secs": 123.456,
+        "host_ext_cores": 123.45,
     }
     scaling = {
         "scaling_eff_last_campaign": 0.352,
@@ -162,3 +163,20 @@ def test_bench_cpu_sample_selection_guards_jit_contamination():
     assert _steady_cpu([10.0]) == 10.0  # cold-only fallback
     assert _steady_cpu([0.0, 0.0]) == 0.0
     assert _steady_cpu([]) == 0.0
+
+
+def test_system_busy_seconds_monotone_and_positive():
+    """The external-load audit's host counter: positive, monotone, and
+    responsive to actual burn (spin ~0.2 s and the aggregate must grow
+    at least that much across all cores... at least a little)."""
+    import time
+
+    import bench
+
+    a = bench._system_busy_seconds()
+    assert a > 0
+    t0 = time.process_time()
+    while time.process_time() - t0 < 0.2:
+        sum(i * i for i in range(1000))
+    b = bench._system_busy_seconds()
+    assert b >= a + 0.1

@@ -238,3 +238,32 @@ def test_pagerank_over_real_edges(spark, sf_dir):
 
     assert legal[0] > 10 * statistics.median(rows.values())
     assert abs(sum(rows.values()) - 1.0) < 1e-6
+
+
+def test_host_graph_aggregation(spark):
+    from docling_jobkit_spark.operators.linkgraph import (
+        host_centrality,
+        host_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://hub.org/x"),
+            ("https://a.com/2", "https://hub.org/y"),
+            ("https://b.net/1", "https://hub.org/z"),
+            ("https://hub.org/x", "https://a.com/1"),
+            ("https://a.com/1", "https://a.com/2"),  # intra-host: dropped
+        ],
+        "src string, dst string",
+    )
+    he = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_edges(edges).collect()}
+    assert he == {
+        ("a.com", "hub.org"): 2,
+        ("b.net", "hub.org"): 1,
+        ("hub.org", "a.com"): 1,
+    }
+    hc = {r["host"]: r for r in host_centrality(edges).collect()}
+    assert set(hc) == {"a.com", "b.net", "hub.org"}
+    assert hc["hub.org"]["pr"] > hc["b.net"]["pr"]
+    assert hc["hub.org"]["in_degree"] == 2
+    assert abs(sum(r["pr"] for r in hc.values()) - 1.0) < 1e-6
