@@ -1313,6 +1313,43 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(url_link_edges(pages)).orderBy("node")
 
 
+def _q_minhash_index_dedup(spark, sf_dir):
+    """Persisted MinHash band index + incremental cross-snapshot
+    near-dup (operators/minhash_index.py): the full corpus's banded
+    signatures are written once as a band-partitioned parquet index
+    (family digest stamped in column metadata — foreign or unstamped
+    indexes refuse to serve), then a derived 'next monthly snapshot'
+    (every 4th doc re-crawled; %8 unchanged, the rest truncated to 90%
+    of tokens) is probed WITHOUT recomputing any history signatures:
+    the delta's bands broadcast, the index scan never shuffles
+    (plan-pinned). Rows-only (filesystem roundtrip; window full); the
+    EXACT DuckDB twin of the probe + append==rebuild maintenance are
+    pinned in tests/test_minhash_index.py. Output dir is per-process
+    so concurrent driver/bench runs never race."""
+    import tempfile
+
+    from docling_jobkit_spark.functions.scalar import tokens
+    from docling_jobkit_spark.operators.minhash_index import (
+        dedup_incremental,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="djs_mhidx_") + "/index"
+    write_minhash_index(docs, out)
+    toks = tokens(F.col("text"))
+    take = F.greatest(F.floor(F.size(toks) * 0.9), F.lit(1)).cast("int")
+    new_snapshot = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 8 == 0, F.col("text"))
+        .otherwise(F.array_join(F.slice(toks, F.lit(1), take), " "))
+        .alias("text"),
+    )
+    idx = read_minhash_index(spark, out)
+    return dedup_incremental(new_snapshot, idx, tau=0.7).orderBy("doc_id")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1559,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "warc_roundtrip": _q_warc_roundtrip,
+        "minhash_index_dedup": _q_minhash_index_dedup,
     }
 
 

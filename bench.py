@@ -89,6 +89,7 @@ HEADLINE_QUERIES = [
     "quality_filter",
     "decontaminate_fuzzy",
     "warc_roundtrip",
+    "minhash_index_dedup",
 ]
 
 

@@ -1,0 +1,254 @@
+"""Persisted MinHash band index + incremental cross-snapshot near-dup.
+
+The at-scale fuzzy-dedup posture for a ROLLING corpus (monthly crawl
+snapshots, incremental ingestion): the accumulated history's MinHash
+signatures are computed ONCE and persisted as a band-partitioned
+parquet index; each new snapshot is signed once, probed against the
+index, and appended. Nothing about the history is ever recomputed —
+at snapshot N the probe costs O(|new|) signature work plus one join,
+instead of the O(|1..N|) full-corpus re-dedup a stateless pipeline
+pays every month.
+
+Reference parity: docling-jobkit has no fuzzy index, but its task-
+result caching (reference docling_jobkit/connectors keyed result
+stores) embodies the same never-recompute-history posture; this is
+that idea applied to MinHash/LSH dedup (Broder 1997; the standard
+filter-and-verify banding as in dedup.py).
+
+Design (Spark-first):
+
+- The index IS a DataFrame: ``(band, bucket, id, sig)`` — one row per
+  (doc, band), written ``partitionBy("band")`` so the on-disk layout
+  matches the join key's first component and per-band files stay
+  bounded. Buckets are uniform sha256 keys: the probe join has no skew
+  by construction.
+- **Family identity is stamped in column metadata** (the IVF-codebook
+  pattern, similarity.py): signatures from a different permutation
+  family or shingle width would silently NEVER match — agreement would
+  read 0/64 and every probe would come back clean. ``read_minhash_
+  index`` refuses to serve an index whose stamped family digest
+  differs from the library's current family. The stamp rides the
+  ``bucket`` and ``sig`` columns, not the partition column: partition
+  columns drop field metadata on read-back (lesson recorded on the
+  IVF layout).
+- **The probe never shuffles the index** when ``broadcast_new=True``:
+  the new snapshot's banded signatures broadcast and the index side is
+  a map-side scan → join (plan-pinned in tests). That is the steady-
+  state shape — a monthly delta is small next to years of history.
+  With ``broadcast_new=False`` (a backfill-sized "new" side) the join
+  degrades to a shuffled equi-join on the uniform (band, bucket) key.
+- **Probe BEFORE append**: ``update_minhash_index`` appends the new
+  snapshot's rows into the same layout; probing after appending would
+  report every new doc as a duplicate of itself.
+
+Verification here is the ESTIMATED Jaccard (exact integer channel
+agreement over the two 64-long signature arrays riding the join, same
+integer-threshold rule as decontam.contamination_fuzzy) — by design:
+the index stores signatures only, because at scale the history's TEXT
+is gone (archived, or owned by a previous pipeline stage). Callers
+that still hold both texts and need exact Jaccard should use
+dedup.minhash_near_duplicates on the union instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.functions.scalar import stable_hash64
+from docling_jobkit_spark.operators.decontam import _sigs
+from docling_jobkit_spark.operators.dedup import (
+    _BASE_BITS,
+    _PERMS,
+    BANDS,
+    MINHASH_PRIME,
+    N_HASHES,
+    ROWS_PER_BAND,
+)
+
+FAMILY_META_KEY = "minhash_family"
+_SHINGLE_K = 3  # word_shingles default — part of the family identity
+_BUCKET_BITS = 60  # persisted bucket key width (sha prefix → long)
+
+
+def minhash_family_digest() -> str:
+    """16-hex digest of everything the signature bits and the persisted
+    bucket keys depend on: the permutation constants, channel/band
+    counts, base-hash width, the prime, the shingle width, and the
+    bucket encoding. Two indexes agree on this digest iff their rows
+    are bit-comparable."""
+    canon = "|".join(
+        [
+            f"n={N_HASHES}",
+            f"bands={BANDS}",
+            f"base_bits={_BASE_BITS}",
+            f"p={MINHASH_PRIME}",
+            f"k={_SHINGLE_K}",
+            f"bucket=sha256/{_BUCKET_BITS}",
+            ",".join(f"{a}:{c}:{b}" for a, c, b in _PERMS),
+        ]
+    )
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
+def banded_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(band, bucket, id, sig) for every doc with a non-empty shingle
+    set — the index row shape. Sub-k-token docs are dropped (their
+    all-empty signatures are identical and would band-collide with
+    every other empty doc; they cannot be near-duplicates).
+
+    The bucket is the 60-bit sha prefix of the band slice's JSON — a
+    LONG, not dedup.py's in-memory 64-hex sha string: the index is a
+    PERSISTED artifact and the bucket is its dominant column (8 bytes
+    vs 64 per row × 16 rows per doc). Candidates from a (≈2^-60)
+    bucket collision are removed by the signature-agreement verify
+    that rides the probe join anyway."""
+    r = ROWS_PER_BAND
+    return _sigs(df, text_col, id_col).select(
+        F.col("id"),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: stable_hash64(
+                    F.to_json(F.slice("sig", b * r + 1, r)), bits=_BUCKET_BITS
+                ),
+            )
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", "id", "sig")
+
+
+def _stamped(banded: DataFrame) -> DataFrame:
+    meta = {FAMILY_META_KEY: minhash_family_digest()}
+    return banded.withColumn(
+        "bucket", F.col("bucket").alias("bucket", metadata=meta)
+    ).withColumn("sig", F.col("sig").alias("sig", metadata=meta))
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded signatures of ``df`` as the band-partitioned
+    parquet index, family digest stamped on the bucket+sig columns."""
+    _stamped(banded_signatures(df, text_col, id_col)).write.mode(
+        mode
+    ).partitionBy("band").parquet(path)
+
+
+def update_minhash_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Incremental maintenance: append a new snapshot's banded
+    signatures into an existing index (same layout, same stamp).
+    Probe the snapshot FIRST — after the append it matches itself."""
+    write_minhash_index(df, path, text_col, id_col, mode="append")
+
+
+def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read an index back, verifying the stamped family digest against
+    the library's current family. A silent mismatch is the failure
+    mode that matters: foreign signatures never agree, so every probe
+    would return 'no duplicates' and look perfectly healthy."""
+    idx = spark.read.parquet(path)
+    fields = {f.name: f for f in idx.schema.fields}
+    for col in ("bucket", "sig"):
+        if col not in fields:
+            raise ValueError(f"not a minhash index (missing '{col}'): {path}")
+    stamped = (fields["bucket"].metadata or {}).get(FAMILY_META_KEY) or (
+        fields["sig"].metadata or {}
+    ).get(FAMILY_META_KEY)
+    current = minhash_family_digest()
+    if stamped is None:
+        raise ValueError(
+            f"minhash index at {path} carries no '{FAMILY_META_KEY}' stamp; "
+            "refusing to probe signatures of unknown provenance"
+        )
+    if stamped != current:
+        raise ValueError(
+            f"minhash family mismatch: index={stamped} current={current} — "
+            "signatures are not bit-comparable; rebuild the index"
+        )
+    return idx
+
+
+def near_dup_pairs_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    tau: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """(doc_id, index_id, n_agree, est_jaccard) for every new doc ×
+    indexed doc sharing an LSH band with signature agreement ≥
+    ceil(tau·64) channels (integer compare — no float threshold
+    ambiguity). ``broadcast_new=True`` is the steady-state plan: the
+    delta's bands broadcast, the index scan never shuffles."""
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    min_agree = int(math.ceil(N_HASHES * tau - 1e-9))
+    new_banded = banded_signatures(new_df, text_col, id_col).select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("id").alias("doc_id"),
+        F.col("sig").alias("_s_new"),
+    )
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
+    idx = index.select(
+        "band", "bucket", F.col("id").alias("index_id"), F.col("sig").alias("_s_idx")
+    )
+    n_agree = F.size(
+        F.filter(F.zip_with("_s_new", "_s_idx", lambda a, b: a == b), lambda x: x)
+    )
+    return (
+        idx.join(new_banded, on=["band", "bucket"])
+        .select("doc_id", "index_id", n_agree.cast("int").alias("n_agree"))
+        .where(F.col("n_agree") >= min_agree)
+        .distinct()
+        .select(
+            "doc_id",
+            "index_id",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(N_HASHES), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    tau: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Per-new-doc rollup against the persisted index: (doc_id,
+    n_index_hits, max_est_jaccard, is_dup) — one row per new doc,
+    clean docs included (the keep set is ``where not is_dup``)."""
+    pairs = near_dup_pairs_against_index(
+        new_df, index, tau, text_col, id_col, broadcast_new
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_index_hits"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_hits", F.lit(0)).alias("n_index_hits"),
+            "max_est_jaccard",
+            F.col("n_index_hits").isNotNull().alias("is_dup"),
+        )
+    )
