@@ -1313,6 +1313,59 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(url_link_edges(pages)).orderBy("node")
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end web-corpus curation funnel (plans/curation.py): the
+    FineWeb/RefinedWeb stage order — url filter → lang filter → Gopher
+    quality → exact dedup → canonical-url dedup → MinHash cluster
+    dedup → benchmark decontamination → PII redaction — run as ONE
+    composite plan with first-fail stage stamps. Returns the per-stage
+    attrition LEDGER (the dataset-card funnel table). The corpus is the
+    documents table plus two derived junk families so every dedup stage
+    has work: re-posts (%41 docs duplicated verbatim under a mirror
+    url) and url clones (%43 docs re-crawled at a tracking-junk variant
+    of the same canonical url, text lightly suffixed). Rows-only
+    (composite contains the iterative cluster resolution; window full);
+    ledger consistency, sequential keep-first election, and
+    per-stage == independent-operator agreement are pinned in
+    tests/test_curation.py."""
+    from docling_jobkit_spark.plans.curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+    )
+    reposts = base.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror.example.com/copy/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    url_clones = base.where(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 600_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("&utm_source=feed")).alias("url"),
+        F.concat(F.col("text"), F.lit(" repost edition")).alias("text"),
+    )
+    docs = base.select("doc_id", "url", "text").unionByName(reposts).unionByName(
+        url_clones
+    )
+    bench = base.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    res = curate_corpus(
+        docs,
+        benchmark=bench,
+        config=CurationConfig(
+            blocked_domains=("spamtracker.net",), blocked_exts=("exe", "jpg")
+        ),
+    )
+    return res.ledger
+
+
 def _q_minhash_index_dedup(spark, sf_dir):
     """Persisted MinHash band index + incremental cross-snapshot
     near-dup (operators/minhash_index.py): the full corpus's banded
@@ -1597,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "warc_roundtrip": _q_warc_roundtrip,
         "minhash_index_dedup": _q_minhash_index_dedup,
+        "curation_funnel": _q_curation_funnel,
     }
 
 

@@ -90,6 +90,7 @@ HEADLINE_QUERIES = [
     "decontaminate_fuzzy",
     "warc_roundtrip",
     "minhash_index_dedup",
+    "curation_funnel",
 ]
 
 
