@@ -221,3 +221,67 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     by_url = {r["url"]: r for r in s_rows}
     assert by_url["ftp://bad.tracker.net/y.exe"]["url_reject_reason"] == "scheme"
     assert by_url["https://a.example.com/x.html"]["n_emails"] == 1
+
+
+def test_stream_dedup_fuzzy_matches_batch_probe(spark, sf_dir, tmp_path):
+    """Streaming fuzzy dedup against the persisted MinHash index: the
+    foreachBatch probe must equal the batch probe over the same docs —
+    per-batch == global holds because the probe is stateless against a
+    static index (forced multi-batch via maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.operators.minhash_index import (
+        dedup_incremental,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from docling_jobkit_spark.streaming import stream_dedup_fuzzy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "idx")
+    write_minhash_index(docs.where("doc_id < 300"), idx_path)
+    index = read_minhash_index(spark, idx_path)
+
+    # two arrival files: re-crawls (unchanged) and fresh docs
+    indir = tmp_path / "arrivals"
+    indir.mkdir()
+    docs.where("doc_id < 40").select("doc_id", "text").coalesce(1).write.parquet(
+        str(indir / "b1"), mode="overwrite"
+    )
+    docs.where("doc_id >= 300 and doc_id < 340").select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(str(indir / "b2"), mode="overwrite")
+
+    outdir, ck = str(tmp_path / "verdicts"), str(tmp_path / "ck_fz")
+    q = stream_dedup_fuzzy(
+        spark,
+        f"{indir}/*",
+        index,
+        outdir,
+        ck,
+        tau=0.7,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(outdir)
+        .select("doc_id", "n_index_hits", "max_est_jaccard", "is_dup")
+        .collect()
+    }
+    arrived = spark.read.parquet(f"{indir}/*")
+    want = {
+        tuple(r) for r in dedup_incremental(arrived, index, tau=0.7).collect()
+    }
+    assert got == want
+    # multi-batch actually exercised, and discrimination holds: every
+    # indexed re-crawl is an exact signature match
+    n_batches = (
+        spark.read.parquet(outdir).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+    dup_ids = {r[0] for r in got if r[3]}
+    assert dup_ids  # hits exist
+    # every indexed re-crawl (id<40, all ≥3 tokens at this sf) matches
+    assert {r[0] for r in got if r[0] < 40} <= dup_ids
