@@ -1313,6 +1313,37 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(url_link_edges(pages)).orderBy("node")
 
 
+def _q_domain_quality(spark, sf_dir):
+    """Per-host domain-quality report (webfilter.domain_quality_report):
+    the aggregates a LEARNED domain blocklist is read off of — doc
+    count, corpus-wide exact-dup membership rate, PII-doc rate,
+    punctuation ratio, mean tokens — with a flagged verdict
+    (dup_farm > pii_source > low_text precedence). Corpus = documents
+    with synthetic urls + injected PII plus a mirror host re-posting
+    every 23rd doc verbatim (so duplicate attribution flags BOTH the
+    mirror and the copied-from hosts). Rows-only (window full); the
+    EXACT DuckDB twin is pinned in tests/test_domain_quality.py."""
+    from docling_jobkit_spark.operators.webfilter import domain_quality_report
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+        .withColumn("text", _inject_pii_text())
+        .select("doc_id", "url", "text")
+    )
+    mirror = base.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror.example.net/copy/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    return domain_quality_report(base.unionByName(mirror)).orderBy("host")
+
+
 def _q_curation_funnel(spark, sf_dir):
     """End-to-end web-corpus curation funnel (plans/curation.py): the
     FineWeb/RefinedWeb stage order — url filter → lang filter → Gopher
@@ -1651,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "minhash_index_dedup": _q_minhash_index_dedup,
         "curation_funnel": _q_curation_funnel,
+        "domain_quality": _q_domain_quality,
     }
 
 

@@ -91,6 +91,7 @@ HEADLINE_QUERIES = [
     "warc_roundtrip",
     "minhash_index_dedup",
     "curation_funnel",
+    "domain_quality",
 ]
 
 

@@ -281,3 +281,94 @@ def host_stats(
     if has_chars:
         aggs.append(F.sum("n_chars").cast("long").alias("n_chars"))
     return narrow.groupBy("host").agg(*aggs)
+
+
+def domain_quality_report(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_rate: float = 0.5,
+    max_pii_rate: float = 0.3,
+    min_avg_tokens: float = 10.0,
+) -> DataFrame:
+    """Per-host curation report — the table a LEARNED domain blocklist
+    is read off of (production URL filters are mostly derived from
+    exactly these aggregates, then fed back into ``url_filter_against``
+    as the blocklist table; UT1/RefinedWeb curation practice).
+
+    One row per host: doc count, exact-duplicate membership rate
+    (corpus-WIDE duplicate attribution, the corpus_report posture —
+    mirror hosts get flagged even when each copy is unique within its
+    host), PII-bearing doc rate, punctuation ratio, mean tokens per
+    doc, and the ``flagged`` verdict with a fixed reason precedence
+    (dup_farm > pii_source > low_text).
+
+    Cross-engine determinism: every rate is ONE division of two exact
+    integer sums, rounded to 6 places (the decimal-exact-sums repo
+    rule); ``punct_ratio`` NULL-guards an all-empty host (x/0 is NULL
+    in Spark but inf in DuckDB).
+
+    Scale shape: one narrow projection (id, host, hash, 4 ints), one
+    hash-only self-aggregation for dup membership joined back on the
+    uniform sha key, one map-side-combinable groupBy(host). Text never
+    shuffles; hosts are the output cardinality."""
+    from docling_jobkit_spark.functions.scalar import content_hash, token_count
+    from docling_jobkit_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    from docling_jobkit_spark.operators.textstats import PUNCT_CLASS
+
+    t = F.col(text_col)
+    n_pii = sum(
+        F.size(F.regexp_extract_all(t, F.lit(p), 0))
+        for p in (EMAIL_RE, IPV4_RE, PHONE_RE)
+    )
+    narrow = df.select(
+        F.col(id_col),
+        url_columns(url_col)["host"].alias("host"),
+        content_hash(t).alias("_h"),
+        token_count(t).alias("_ntok"),
+        F.length(t).alias("_nchar"),
+        F.size(F.regexp_extract_all(t, F.lit(PUNCT_CLASS), 0)).alias("_npunct"),
+        (n_pii > 0).cast("int").alias("_pii"),
+    )
+    dup_hashes = (
+        narrow.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    joined = narrow.join(dup_hashes, on="_h", how="left").withColumn(
+        "_dup", F.coalesce("_dup", F.lit(0))
+    )
+    agg = joined.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_dup").cast("long").alias("n_dup_docs"),
+        F.sum("_pii").cast("long").alias("n_pii_docs"),
+        F.sum("_ntok").cast("long").alias("_stok"),
+        F.sum("_nchar").cast("long").alias("_schar"),
+        F.sum("_npunct").cast("long").alias("_spunct"),
+    )
+    dup_rate = F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+    pii_rate = F.round(F.col("n_pii_docs") / F.col("n_docs"), 6)
+    avg_tokens = F.round(F.col("_stok") / F.col("n_docs"), 6)
+    punct_ratio = F.when(
+        F.col("_schar") > 0, F.round(F.col("_spunct") / F.col("_schar"), 6)
+    )
+    reason = (
+        F.when(dup_rate > max_dup_rate, F.lit("dup_farm"))
+        .when(pii_rate > max_pii_rate, F.lit("pii_source"))
+        .when(avg_tokens < min_avg_tokens, F.lit("low_text"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        "n_pii_docs",
+        pii_rate.alias("pii_rate"),
+        punct_ratio.alias("punct_ratio"),
+        avg_tokens.alias("avg_tokens"),
+        reason.alias("flag_reason"),
+        reason.isNotNull().alias("flagged"),
+    )
