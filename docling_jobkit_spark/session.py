@@ -21,6 +21,8 @@ def get_spark(
     driver_memory: str = "24g",
     tuned: bool = False,
     extra: dict[str, str] | None = None,
+    n_executors: int | None = None,
+    executor_memory: str = "6g",
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
 
@@ -29,6 +31,17 @@ def get_spark(
     the same code runs under spark-submit with master/partitions supplied by
     the deployment, so nothing here hard-codes local-only behavior beyond
     the master URL.
+
+    ``n_executors`` switches the master to ``local-cluster[n, cores/n, mem]``
+    — Spark's multi-JVM local standalone cluster (the mode Spark's own test
+    suite uses). Each executor is a SEPARATE JVM with its own heap, GC, and
+    python-worker pool, which is how a real cluster scales: adding executors
+    multiplies heaps and GC bandwidth, while ``local[4N]`` quadruples mutator
+    threads inside ONE fixed heap (measured: per-doc JVM CPU inflates with
+    thread count under local[N]; see BENCH.md round-5 scaling notes).
+    Executor JVMs get the same GC profile as the tuned driver, sized to their
+    own core count, and inherit PYTHONPATH so pandas UDFs can import this
+    package (executors do not inherit the driver's sys.path, unlike local[N]).
 
     ``tuned=True`` applies the measured throughput profile for the
     pandas-UDF extraction workload (see BENCH.md for the evidence):
@@ -41,8 +54,16 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cores
+    if n_executors:
+        exec_cores = max(1, cores // n_executors)
+        exec_mem_mb = int(executor_memory.rstrip("gm")) * (
+            1024 if executor_memory.endswith("g") else 1
+        )
+        master = f"local-cluster[{n_executors},{exec_cores},{exec_mem_mb}]"
+    else:
+        master = f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -63,7 +84,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.ui.enabled", "false")
     )
+    if n_executors:
+        import docling_jobkit_spark as _pkg
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        builder = (
+            builder.config("spark.executor.memory", executor_memory)
+            # local-cluster executors spawn their python workers from the
+            # executor JVM's environment, not the driver's sys.path — ship
+            # the package root explicitly (a real deployment uses
+            # spark-submit --py-files / a cluster-wide install instead)
+            .config("spark.executorEnv.PYTHONPATH", pkg_root)
+        )
     if tuned:
+        jvm_cores = max(1, cores // n_executors) if n_executors else cores
+        gc_opts = f"-XX:+UseParallelGC -XX:ActiveProcessorCount={jvm_cores}"
         for k, v in {
             "spark.driver.extraJavaOptions":
                 f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}",
@@ -71,6 +106,7 @@ def get_spark(
             "spark.buffer.size": "1048576",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
             "spark.python.unix.domain.socket.enabled": "true",
+            **({"spark.executor.extraJavaOptions": gc_opts} if n_executors else {}),
         }.items():
             builder = builder.config(k, v)
     for k, v in (extra or {}).items():
