@@ -1434,6 +1434,58 @@ def _q_minhash_index_dedup(spark, sf_dir):
     return dedup_incremental(new_snapshot, idx, tau=0.7).orderBy("doc_id")
 
 
+_BM25_QUERIES = [
+    ("q_join", "hash join merge strategy"),
+    ("q_stream", "window stream aggregation"),
+    ("q_scan", "fast table scan filter"),
+]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval over the documents table
+    (operators/retrieval.py): one postings build (single scan + one
+    (doc,term) shuffle), then the query batch scores via broadcast
+    joins on the query-term dim — the corpus never reshuffles
+    (plan-pinned in tests/test_retrieval.py). Integer tf/dl/df, exact
+    N/total_tokens ratio, quantized ranking (round-9 score, doc_id
+    tie-break) make it engine-portable; rows-only here (window full) —
+    the EXACT DuckDB twin (operators.retrieval.bm25_oracle_sql) is
+    pinned in tests/test_retrieval.py."""
+    from docling_jobkit_spark.operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
+
+
+def _q_embedding_whiten(spark, sf_dir):
+    """PCA-whitening audit over the embeddings table
+    (operators/embedding_prep.py): distributed moments (one partial row
+    per partition, fsum driver reduce — no shuffle), driver-side d×d
+    eigendecomposition, Arrow-batched matmul application, and the
+    per-component verification report (eigenvalue + achieved whitened
+    variance ≈ 1). The preprocessing step that conditions SemDeDup/IVF
+    cells. Rows-only (eigendecomposition has no SQL twin); numerics
+    pinned against numpy in tests/test_embedding_prep.py."""
+    from docling_jobkit_spark.operators.embedding_prep import whiten_report
+
+    embs = _read(spark, sf_dir, "embeddings")
+    return whiten_report(embs, n_components=16).orderBy("component")
+
+
+def _q_profile_table(spark, sf_dir):
+    """Per-column table profile (operators/profiling.py): completeness,
+    exact distinctness, typed min/max lanes (numeric as double, string
+    as string — never numbers through engine-specific formatting),
+    avg_len as one division of exact integer sums. ONE wide aggregate =
+    one corpus scan (plan-pinned); approx_count_distinct is the
+    single-pass sketch switch at scale. Rows-only (window full); the
+    EXACT DuckDB twin is pinned in tests/test_profiling.py."""
+    from docling_jobkit_spark.operators.profiling import profile_table
+
+    docs = _read(spark, sf_dir, "documents")
+    return profile_table(docs).orderBy("column")
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1683,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_dedup": _q_minhash_index_dedup,
         "curation_funnel": _q_curation_funnel,
         "domain_quality": _q_domain_quality,
+        "bm25_topk": _q_bm25_topk,
+        "embedding_whiten": _q_embedding_whiten,
+        "profile_table": _q_profile_table,
     }
 
 

@@ -104,13 +104,22 @@ def test_bench_result_line_fits_driver_tail_capture():
         "scaling_clean_rounds_last": 10,
         "scaling_levels": "4v16",
     }
-    line, full = bench.build_result(timings, cpu, extras, scaling)
+    extra = {n: 123.45 for n in bench.EXTRA_TIMED_QUERIES}
+    line, full = bench.build_result(
+        timings, cpu, extras, scaling, extra_timings=extra
+    )
     assert len(line) < 1800, len(line)
     parsed = json.loads(line)
     assert parsed["metric"] == "total_headline_seconds"
     assert set(parsed["queries"]) == set(bench.HEADLINE_QUERIES)
     assert "queries_cpu_seconds" not in parsed  # bulk goes to the file
     assert full["queries_cpu_seconds"] == cpu
+    # newer entries are timed into the file only — the stdout line is at
+    # its length budget and must not grow with every added operator
+    assert "queries_file_only" not in parsed
+    for name in bench.EXTRA_TIMED_QUERIES:
+        assert name not in parsed["queries"]
+    assert full["queries_file_only"] == extra
 
 
 def test_bench_scaling_fields_are_labeled():
