@@ -1,9 +1,16 @@
 """Scaling-efficiency evidence for the north rule.
 
-Runs the SAME extraction job at two parallelism levels (default local[8]
-vs local[32] — the sandbox stand-in for N vs 4N executor clusters, per
-BASELINE.md) in fresh JVMs, on identical input, and reports docs/sec at
-both plus efficiency = (T_hi / T_lo) / (hi/lo). Appends to BENCH.md.
+Runs the SAME extraction job at two cluster sizes on identical input and
+reports docs/sec at both plus efficiency = (T_hi / T_lo) / (hi/lo).
+Default methodology (--mode cluster): ONE vs FOUR identical 4-core
+executor JVMs via Spark's local-cluster — the faithful sandbox stand-in
+for N vs 4N executors, because a real cluster adds a heap, a GC, and a
+python-worker pool with every executor. The legacy --mode jvm
+(local[4] vs local[16], one JVM) is kept for regression A/Bs: the
+2026-08-18 A/B campaign (BENCH.md) showed local[16]'s per-doc CPU
+inflates 1.4-2.9x intrinsically (one heap, 16 mutator threads against
+one ParallelGC), i.e. it measures JVM thread scaling, not pipeline
+scaling. Appends to BENCH.md.
 
 Methodology (each point measured, see BENCH.md notes):
 - **CPU pinning**: each level's whole process tree (JVM + python
@@ -255,7 +262,12 @@ def main() -> None:
         help="wall-clock budget for --until-clean-rounds campaigns",
     )
     ap.add_argument(
-        "--mode", choices=["jvm", "cluster", "ab"], default="jvm",
+        # cluster is the gate methodology since the 2026-08-18 A/B
+        # (BENCH.md round-5 session-5): local[16]'s per-doc CPU inflates
+        # 1.4-2.9x intrinsically (one heap, 16 mutator threads), while
+        # 1-vs-4 executor JVMs track the host ceiling — a real cluster
+        # adds a heap + GC bandwidth with every executor.
+        "--mode", choices=["jvm", "cluster", "ab"], default="cluster",
         help="jvm = one local[N] JVM per level (original); cluster = "
         "local-cluster with N/4 four-core executor JVMs per level (each "
         "executor brings its own heap + GC, like a real cluster); ab = "
