@@ -1486,6 +1486,143 @@ def _q_profile_table(spark, sf_dir):
     return profile_table(docs).orderBy("column")
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """From-scratch deterministic HyperLogLog (operators/sketches.py):
+    cardinality estimates over documents at p=6 (m=64 registers — small
+    enough that doc_id's ~500 distincts exercise the raw-HLL branch
+    while source/lang's handful exercise linear counting). The shuffle
+    is O(2^p) rows per key column regardless of corpus size — the
+    cardinality answer whose cost does NOT grow with 100 TB. Rows-only
+    (window full); the EXACT DuckDB twin (same 60-bit sha prefix, same
+    integer-scaled harmonic denominator, same branch + rounding) is
+    pinned in tests/test_sketches.py."""
+    from docling_jobkit_spark.operators.sketches import hll_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        hll_distinct(docs, "doc_id", p=6)
+        .unionByName(hll_distinct(docs, "source", p=6))
+        .unionByName(hll_distinct(docs, "lang", p=6))
+        .orderBy("column")
+    )
+
+
+def _q_ngram_topk(spark, sf_dir):
+    """Corpus heavy hitters (operators/sketches.py::ngram_topk): top-20
+    word bigrams with a total (count desc, gram asc) ordering. Map-side
+    combined count + TakeOrdered — no global sort materializes; the
+    min_count=2 prune drops the hapax tail before ordering. Rows-only
+    (window full); EXACT DuckDB twin in tests/test_sketches.py."""
+    from docling_jobkit_spark.operators.sketches import ngram_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_topk(docs, "text", n=2, k=20, min_count=2)
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) two-dimensional file layout + prefix-cell
+    pruning (operators/layout.py): documents laid out by (doc-key hash
+    dim × size dim), one directory per z-cell, then a rectangle query
+    that keeps only the overlapping cells — an isin PARTITION filter, so
+    excluded cells are pruned at the file LISTING (the ivf_presigned
+    mechanism generalized to two dimensions). At 100 TB this is what
+    makes "host-bucket range × size/time range" queries read a few
+    percent of the files instead of all of them; the one shuffle is the
+    layout rewrite itself, paid once. Rows-only: file layout has no
+    DuckDB twin; the row carries its own certificate (pruned-read row
+    set == full-scan filter row set) and tests/test_layout.py pins the
+    bit math differentially, the plan's PartitionFilters, and the
+    pruning fraction."""
+    import os
+    import tempfile
+
+    from docling_jobkit_spark.operators.layout import (
+        hash_dim_col,
+        quantize_linear,
+        read_pruned,
+        with_zorder,
+        zbuckets_for_rect,
+        zorder_write,
+    )
+
+    bits, bucket_bits = 12, 6
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    stamped = with_zorder(
+        docs.withColumn("xdim", hash_dim_col(F.col("doc_id"), bits)).withColumn(
+            "ydim", quantize_linear(F.col("n_chars"), float(lo), float(hi), bits)
+        ),
+        F.col("xdim"),
+        F.col("ydim"),
+        bits=bits,
+        bucket_bits=bucket_bits,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_zorder_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    zorder_write(stamped, out)
+    # rectangle: the low eighth of the key-hash dim × the middle half of
+    # the size dim
+    x_range = (0, (1 << bits) // 8 - 1)
+    y_range = ((1 << bits) // 4, 3 * (1 << bits) // 4 - 1)
+    kept = zbuckets_for_rect(x_range, y_range, bits, bucket_bits)
+    pruned = read_pruned(spark, out, x_range, y_range, bits, bucket_bits)
+    full = stamped.where(
+        F.col("xdim").between(*x_range) & F.col("ydim").between(*y_range)
+    )
+    n_pruned, n_full = pruned.count(), full.count()
+    return spark.range(1).select(
+        F.lit(1 << bucket_bits).alias("n_cells_total"),
+        F.lit(len(kept)).alias("n_cells_kept"),
+        F.lit(n_pruned).cast("long").alias("n_rows_pruned_read"),
+        F.lit(n_full).cast("long").alias("n_rows_full_filter"),
+        F.lit(bool(n_pruned == n_full)).alias("rows_match"),
+    )
+
+
+def _q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction made driver-visible (sinks/maintenance.py):
+    fragment the documents table into ~40-row parquet shards, compact
+    them to target-sized files with the ZERO-SHUFFLE scan-side
+    bin-packer (maxPartitionBytes packing, no repartition anywhere), and
+    certify the rewrite with the checkpoint-manifest content signature
+    (row count + null-guarded key-hash sum). At 100 TB this is the
+    Iceberg rewrite_data_files analog — every query over an uncompacted
+    table pays a task + an object-store GET per tiny file. Rows-only:
+    file layout is a physical property DuckDB has no twin for; the
+    signature equality inside the row is the check (pytest pins the
+    multiset + plan in tests/test_maintenance.py)."""
+    import os
+    import tempfile
+
+    from docling_jobkit_spark.sinks.maintenance import (
+        compact_files,
+        content_signature,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    # per-(sf, process) path: same no-race discipline as the shards entry
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_compact_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    frag, dst = os.path.join(base, "frag"), os.path.join(base, "compact")
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 40).parquet(frag)
+    stats = compact_files(spark, frag, dst, target_file_bytes=8 * 1024 * 1024)
+    match = content_signature(
+        spark.read.parquet(frag), "doc_id"
+    ) == content_signature(spark.read.parquet(dst), "doc_id")
+    return spark.range(1).select(
+        F.lit(stats.n_files_before).alias("n_files_before"),
+        F.lit(stats.n_files_after).alias("n_files_after"),
+        F.lit(stats.n_rows).cast("long").alias("n_rows"),
+        F.lit(bool(match)).alias("content_match"),
+    )
+
+
 def _q_training_set(spark, sf_dir):
     """End-to-end training-set assembly (plans/training_set.py): split →
     train-only mixture → chunk-once → pack → shuffle, reported as the
@@ -1738,6 +1875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "embedding_whiten": _q_embedding_whiten,
         "profile_table": _q_profile_table,
+        "hll_distinct": _q_hll_distinct,
+        "ngram_topk": _q_ngram_topk,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "zorder_layout": _q_zorder_layout,
     }
 
 

@@ -1,0 +1,226 @@
+"""Cardinality / frequency sketches for corpus analytics at scale.
+
+Reference precedent: the reference keeps monotonic lifecycle COUNTERS in
+Redis (``orchestrators/ray/models.py:71-93``) and computes job summary
+counts per batch (``datamodel/result.py:3-28``) — exact counts over keys
+it already holds. At 100 TB the analytics questions become "how many
+DISTINCT urls / hosts / shingles does this crawl hold" and "what are the
+most frequent n-grams" — questions whose exact answers need a full
+shuffle of every key. This module answers them with sketches whose
+shuffled state is BOUNDED regardless of corpus size:
+
+- **HyperLogLog (from scratch, deterministic)** — Flajolet et al. 2007
+  (+ the small-range linear-counting correction from the same paper).
+  The per-partition state is at most ``m = 2^p`` (bucket, max-rho)
+  pairs; the shuffle moves at most ``m`` rows per partition regardless
+  of input size (map-side combined ``groupBy(bucket).agg(max(rho))``),
+  vs. ``countDistinct``'s shuffle of every distinct key. Spark's own
+  ``approx_count_distinct`` is the production shortcut; this
+  implementation exists because its estimate must be REPRODUCIBLE in a
+  second engine (DuckDB twin, pytest-pinned) — the same reason the
+  minhash family re-derives its permutations from sha256 instead of
+  using Spark's hash().
+
+Determinism across engines (the repo's cross-engine rules, CLAUDE.md):
+- hash = 60-bit sha256-prefix LONG (the established pattern);
+- the harmonic-mean denominator is an EXACT INTEGER: register ``reg``
+  contributes ``2^(S+1-reg)`` (scaled by ``2^(S+1)``, ``S = 60-p`` bits
+  of remainder), absent buckets contribute ``2^(S+1)``; the worst-case
+  total is ``m * 2^(S+1) = 2^61 < 2^63`` for EVERY p — overflow-free
+  under ANSI mode (which this build enables; bigint overflow THROWS);
+- exactly one float division (and one ``ln`` on the linear-counting
+  branch) happens at the very end, rounded to 2 decimals — no
+  order-dependent float summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.functions.scalar import tokens
+
+# Flajolet et al. 2007 bias-correction constants.
+_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _alpha(p: int) -> float:
+    return _ALPHA.get(p, 0.7213 / (1.0 + 1.079 / (1 << p)))
+
+
+def _hash60(col) -> F.Column:
+    """The repo-standard 60-bit sha256-prefix long (15 hex chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """The HLL register table for one key column: ``(bucket, register)``
+    with at most ``2^p`` rows. bucket = top ``p`` bits of the 60-bit
+    hash; register = max over the bucket's keys of rho(remainder) =
+    (#leading zero bits in the low ``S = 60-p`` bits) + 1.
+
+    Everything is whole-stage-codegen arithmetic (sha2/conv/floor/bin);
+    the single groupBy is map-side combined and its key space is capped
+    at ``2^p`` — THE scale property: the shuffle is O(m), not O(n).
+    bit-length via ``length(bin(r))`` (no leading zeros in either
+    engine's ``bin``); ``r = 0`` (bit length 0) is special-cased because
+    ``bin(0) = '0'`` has string length 1 in both engines.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    s_bits = 60 - p
+    h = _hash60(col)
+    # shiftright, NOT floor(h / 2^S): Spark's `/` on longs is DOUBLE
+    # division and h spans 60 bits > the 53-bit double significand —
+    # bucket ids near register boundaries would round to the wrong side.
+    bucket = F.shiftright(h, s_bits).cast("int")
+    r = h % F.lit(1 << s_bits)
+    bitlen = F.when(r == 0, F.lit(0)).otherwise(F.length(F.bin(r)))
+    rho = (F.lit(s_bits) - bitlen + F.lit(1)).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int, label: str) -> DataFrame:
+    """One summary row from a register table: the HLL cardinality
+    estimate with the small-range linear-counting correction.
+
+    ``Z_scaled = sum(2^(S+1-reg)) + v_zero * 2^(S+1)`` is an exact
+    integer (≤ 2^61, see module docstring); the raw estimate is
+    ``alpha_m * m^2 * 2^(S+1) / Z_scaled`` — one deterministic double
+    division. When ``E_raw <= 2.5 m`` and some buckets are empty, linear
+    counting ``m * ln(m / v_zero)`` is the better estimator (Flajolet
+    §4); ``method`` records which branch fired so the oracle can branch
+    identically.
+    """
+    m = 1 << p
+    s1 = (60 - p) + 1  # S + 1: scale exponent, also the rho=0 contribution
+    alpha_m2_scaled = _alpha(p) * float(m) * float(m) * float(1 << s1)
+    # shiftleft with a COLUMN bit count needs the SQL form (the pyspark
+    # wrapper only accepts a literal int for numBits)
+    contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), {s1} - register)")
+    agg = registers.agg(
+        F.count("*").alias("n_present"),
+        # coalesce: SUM over an empty register table is NULL (empty/all-
+        # null input column) — the all-empty sketch must still estimate 0
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("z_present"),
+    )
+    v_zero = F.lit(m) - F.col("n_present")
+    z_scaled = F.col("z_present") + v_zero * F.lit(1 << s1).cast("long")
+    e_raw = F.lit(alpha_m2_scaled) / z_scaled.cast("double")
+    use_lc = (e_raw <= F.lit(2.5 * m)) & (v_zero > 0)
+    e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+    return agg.select(
+        F.lit(label).alias("column"),
+        F.lit(m).alias("m"),
+        v_zero.cast("int").alias("v_zero"),
+        F.when(use_lc, F.lit("linear_counting"))
+        .otherwise(F.lit("hll_raw"))
+        .alias("method"),
+        F.round(F.when(use_lc, e_lc).otherwise(e_raw), 2).alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12, label: str | None = None) -> DataFrame:
+    """End-to-end: distinct-count estimate for ``df[col]``."""
+    return hll_estimate(hll_registers(df, col, p), p, label or col)
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = element-wise max of registers — the property
+    that makes HLL the right rolling-corpus state: persist one tiny
+    (≤ 2^p rows) register table per crawl snapshot, and the distinct
+    count of ANY union of snapshots is a merge of their sketches, never
+    a rescan (the same incremental posture as minhash_index.py for
+    fuzzy dedup). Exactly equal to sketching the concatenated input, not
+    just approximately — pinned in tests."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_oracle_sql(table_expr: str, col: str, p: int, label: str) -> str:
+    """The exact DuckDB twin of ``hll_distinct`` — same 60-bit sha
+    prefix, same integer-scaled denominator, same rounding. Kept beside
+    the operator (like ``_minhash_oracle_sql``) so hash/branch changes
+    update both engines in lockstep."""
+    m = 1 << p
+    s_bits = 60 - p
+    s1 = s_bits + 1
+    alpha_m2_scaled = _alpha(p) * float(m) * float(m) * float(1 << s1)
+    return f"""
+WITH hashed AS (
+  SELECT ('0x' || substr(sha256(CAST({col} AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM {table_expr} WHERE {col} IS NOT NULL
+), regs AS (
+  SELECT CAST(h // {1 << s_bits} AS INT) AS bucket,
+         MAX({s_bits} - (CASE WHEN h % {1 << s_bits} = 0 THEN 0
+                              ELSE length(bin(h % {1 << s_bits})) END) + 1) AS register
+  FROM hashed GROUP BY bucket
+), agg AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({s1} - register)), 0) AS BIGINT) AS z_present
+  FROM regs
+)
+SELECT '{label}' AS "column", {m} AS m,
+       CAST({m} - n_present AS INT) AS v_zero,
+       CASE WHEN ({alpha_m2_scaled!r} / CAST(z_present + ({m} - n_present) * CAST({1 << s1} AS BIGINT) AS DOUBLE)) <= {2.5 * m!r}
+             AND ({m} - n_present) > 0
+            THEN 'linear_counting' ELSE 'hll_raw' END AS method,
+       round(CASE WHEN ({alpha_m2_scaled!r} / CAST(z_present + ({m} - n_present) * CAST({1 << s1} AS BIGINT) AS DOUBLE)) <= {2.5 * m!r}
+                   AND ({m} - n_present) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+                  ELSE {alpha_m2_scaled!r} / CAST(z_present + ({m} - n_present) * CAST({1 << s1} AS BIGINT) AS DOUBLE) END, 2) AS estimate
+FROM agg
+"""
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus heavy hitters: the top-``k`` most frequent word ``n``-grams
+    with a TOTAL ordering (count desc, gram asc) so the result is
+    deterministic under any partitioning.
+
+    Scale shape: explode → groupBy(gram).count() is map-side combined
+    (partial counts per partition, only the combined (gram, count) pairs
+    shuffle), and the final top-k is a TakeOrdered over the aggregated
+    stream — no global sort materializes. ``min_count`` prunes the
+    singleton long tail BEFORE the ordering (at web scale most n-grams
+    are hapax legomena; dropping them cuts the ordered stream by ~half).
+    Tokenization matches the repo's whitespace ``tokens()`` (lowercased),
+    the same convention as repetition_signals' oracle.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    # guard, don't greatest(): sequence(1, 0) steps BACKWARD in Spark
+    # ([1, 0]) — a < n-token doc must emit zero grams, not two bogus ones
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_count"))
+        .where(F.col("n_count") >= min_count)
+        .orderBy(F.col("n_count").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -101,8 +101,10 @@ def test_bench_result_line_fits_driver_tail_capture():
         "scaling_eff_last_campaign": 0.352,
         "scaling_gate": ">=0.8",
         "scaling_eff_best_clean": 0.954,
+        "scaling_eff_last_pass": 0.852,
         "scaling_clean_rounds_last": 10,
         "scaling_levels": "4v16",
+        "scaling_mode": "cluster",
     }
     extra = {n: 123.45 for n in bench.EXTRA_TIMED_QUERIES}
     line, full = bench.build_result(
@@ -145,7 +147,21 @@ def test_bench_scaling_fields_are_labeled():
     assert out["scaling_eff_last_campaign"] == 0.352
     assert out["scaling_clean_rounds_last"] == 0
     assert out["scaling_levels"] == "4v16"
+    # pre-mode-knob sections are single-JVM local[N] → "jvm"
+    assert out["scaling_mode"] == "jvm"
     assert _recorded_scaling("no scaling content") == {}
+
+    # a mode= marker in the last section is surfaced verbatim — the
+    # methodology (cluster = one vs four executor JVMs) is load-bearing
+    # for interpreting the efficiency number
+    md_cluster = md.replace(
+        "## Scaling run (base_pages=4000, replicate=30, levels=4/16, pinned=True)\n"
+        "gate median over 0 clean rounds",
+        "## Scaling run (mode=cluster, base_pages=4000, replicate=30, "
+        "levels=4/16, pinned=True)\n"
+        "gate median over 0 clean rounds",
+    )
+    assert _recorded_scaling(md_cluster)["scaling_mode"] == "cluster"
 
 
 def test_bench_cpu_sample_selection_guards_jit_contamination():

@@ -1,0 +1,148 @@
+"""Sketch operators (operators/sketches.py): HyperLogLog exact DuckDB
+twin + accuracy envelope, n-gram heavy hitters exact twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.operators.sketches import (
+    hll_distinct,
+    hll_oracle_sql,
+    ngram_topk,
+)
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_hll_doc_id_matches_duckdb_exactly(spark, docs, sf_dir):
+    path = f"{sf_dir}/documents.parquet"
+    got = _rows(hll_distinct(docs, "doc_id", p=6))
+    want = [tuple(r) for r in duckdb.sql(
+        hll_oracle_sql(f"'{path}'", "doc_id", 6, "doc_id")
+    ).fetchall()]
+    assert got == want
+    assert got[0][3] in ("hll_raw", "linear_counting")  # sf-dependent
+
+
+def test_hll_raw_branch_matches_duckdb_exactly(spark, tmp_path):
+    # 2000 distinct keys over m=64 registers force the raw-HLL branch in
+    # BOTH engines — branch parity is part of the contract
+    path = str(tmp_path / "keys.parquet")
+    spark.range(2000).select(
+        F.col("id").cast("string").alias("k")
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    got = _rows(hll_distinct(df, "k", p=6))
+    want = [tuple(r) for r in duckdb.sql(
+        hll_oracle_sql(f"'{path}/*.parquet'", "k", 6, "k")
+    ).fetchall()]
+    assert got == want
+    assert got[0][3] == "hll_raw"
+
+
+def test_hll_low_cardinality_matches_duckdb_exactly(spark, docs, sf_dir):
+    # a handful of sources → the linear-counting branch
+    path = f"{sf_dir}/documents.parquet"
+    got = _rows(hll_distinct(docs, "source", p=6))
+    want = [tuple(r) for r in duckdb.sql(
+        hll_oracle_sql(f"'{path}'", "source", 6, "source")
+    ).fetchall()]
+    assert got == want
+    assert got[0][3] == "linear_counting"
+
+
+def test_hll_estimate_accuracy(spark):
+    # p=8 → 256 registers, standard error 1.04/sqrt(256) ≈ 6.5%; a 20%
+    # envelope on 5000 uniform keys is ~3σ — deterministic, not flaky
+    # (the sha-derived hash stream is fixed).
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    est = hll_distinct(df, "k", p=8).collect()[0]["estimate"]
+    assert abs(est - 5000) / 5000 < 0.20
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = (
+        spark.range(10)
+        .where(F.col("id") < 0)
+        .select(F.col("id").cast("string").alias("k"))
+    )
+    row = hll_distinct(df, "k", p=6).collect()[0]
+    assert row["estimate"] == 0.0
+    assert row["method"] == "linear_counting"
+    assert row["v_zero"] == 64
+
+
+def test_hll_register_table_is_bounded(spark):
+    # THE scale property: whatever the input size, at most 2^p rows
+    # survive the aggregate (the shuffle is O(m), not O(n_distinct)).
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    from docling_jobkit_spark.operators.sketches import hll_registers
+
+    regs = hll_registers(df, "k", p=5)
+    assert regs.count() <= 32
+    assert regs.agg(F.max("register")).collect()[0][0] <= (60 - 5) + 1
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    # the rolling-corpus property: merge-of-sketches == sketch-of-union,
+    # EXACTLY (element-wise max of registers), on overlapping snapshots
+    from docling_jobkit_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 1200).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(800, 2000).select(F.col("id").cast("string").alias("k"))
+    merged = hll_merge(hll_registers(a, "k", p=7), hll_registers(b, "k", p=7))
+    direct = hll_registers(a.unionByName(b), "k", p=7)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = hll_estimate(merged, 7, "k").collect()[0]["estimate"]
+    assert abs(est - 2000) / 2000 < 0.30  # SE at p=7 ≈ 9.2%
+
+
+def test_ngram_topk_matches_duckdb_exactly(spark, docs, sf_dir):
+    path = f"{sf_dir}/documents.parquet"
+    got = _rows(ngram_topk(docs, "text", n=2, k=20, min_count=2))
+    want = [tuple(r) for r in duckdb.sql(f"""
+        with toks as (
+          select string_split_regex(trim(lower(text)), '\\s+') as t
+          from '{path}' where trim(text) != ''
+        ), grams as (
+          select unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+1], ' '))) as gram
+          from toks where len(t) >= 2
+        )
+        select gram, count(*)::BIGINT as n_count
+        from grams group by gram
+        having count(*) >= 2
+        order by n_count desc, gram
+        limit 20
+    """).fetchall()]
+    assert got == want
+    assert len(got) == 20
+
+
+def test_ngram_topk_short_docs_emit_nothing(spark):
+    # one-token and empty docs must contribute zero bigrams (Spark's
+    # sequence(1, 0) steps BACKWARD — guarded in the operator)
+    df = spark.range(4).select(
+        F.when(F.col("id") == 0, F.lit("solo"))
+        .when(F.col("id") == 1, F.lit(""))
+        .when(F.col("id") == 2, F.lit("   "))
+        .otherwise(F.lit("a b a b"))
+        .alias("text")
+    )
+    rows = _rows(ngram_topk(df, "text", n=2, k=10, min_count=1))
+    assert rows == [("a b", 2), ("b a", 1)]
