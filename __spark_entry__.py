@@ -1583,6 +1583,32 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_cms_counts(spark, sf_dir):
+    """Count-Min sketch (operators/sketches.py): word-frequency
+    estimates from a bounded d×w summary — the frequency answer whose
+    shuffled state does NOT grow with the corpus (a full groupBy(word)
+    shuffles every distinct word; the sketch shuffles ≤ 4×1024 combined
+    cells). Probes are the corpus's own top-10 words (total-ordered,
+    deterministic); CMS guarantees est ≥ exact, pinned with the exact
+    DuckDB twin in tests/test_sketches.py. Rows-only (window full)."""
+    from docling_jobkit_spark.functions.scalar import tokens
+    from docling_jobkit_spark.operators.sketches import cms_build, cms_query
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.where(F.trim("text") != "").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    probes = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(10)
+        .select("word")
+    )
+    sketch = cms_build(words, "word", depth=4, width=1024)
+    return cms_query(sketch, probes, "word", depth=4, width=1024).orderBy("key")
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """Small-file compaction made driver-visible (sinks/maintenance.py):
     fragment the documents table into ~40-row parquet shards, compact
@@ -1879,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "compact_roundtrip": _q_compact_roundtrip,
         "zorder_layout": _q_zorder_layout,
+        "cms_counts": _q_cms_counts,
     }
 
 

@@ -109,6 +109,7 @@ EXTRA_TIMED_QUERIES = [
     "ngram_topk",
     "compact_roundtrip",
     "zorder_layout",
+    "cms_counts",
 ]
 
 

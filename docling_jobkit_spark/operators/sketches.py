@@ -185,6 +185,121 @@ FROM agg
 """
 
 
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    ``(channel, bucket, cnt)`` with at most ``depth × width`` rows —
+    like the HLL register table, a frequency summary whose SHUFFLED
+    STATE is bounded regardless of corpus size (a full groupBy(key)
+    shuffles every distinct key; the sketch shuffles ≤ d·w combined
+    partial counts). Point queries overestimate with error ≤ εN
+    (ε = e/width) at confidence 1-δ (δ = e^-depth) — never
+    underestimate.
+
+    Channels are independent 60-bit sha hashes of ``channel||key``
+    (the salted-sha construction the minhash validation harness uses),
+    so the DuckDB twin reproduces them verbatim. Sketches with equal
+    (depth, width) merge by summing counts per cell — same rolling-
+    corpus posture as ``hll_merge``."""
+    c = F.col(col).cast("string")
+    channels = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("channel"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.concat(F.lit(f"{d}|"), c), 256), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(width)
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(channels).alias("ch"))
+        .groupBy(F.col("ch.channel").alias("channel"), F.col("ch.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Estimated count per key: min over the ``depth`` channels of the
+    key's bucket count (absent cells are exact zeros). ``keys`` is a
+    small frame of distinct probe keys — the join broadcasts the probes'
+    (channel, bucket) pairs against the bounded sketch; neither side is
+    corpus-sized."""
+    c = F.col(col).cast("string")
+    probes = keys.select(
+        c.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("channel"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.sha2(F.concat(F.lit(f"{d}|"), c), 256), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F.lit(width)
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("ch"),
+    ).select("key", F.col("ch.channel").alias("channel"), F.col("ch.bucket").alias("bucket"))
+    joined = probes.join(sketch, ["channel", "bucket"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("est_count"))
+
+
+def cms_oracle_sql(table_expr: str, col: str, keys_expr: str, depth: int, width: int) -> str:
+    """Exact DuckDB twin of ``cms_build`` + ``cms_query`` composed —
+    kept beside the operator so the hash construction drifts in
+    lockstep."""
+    def chan_hash(d: int) -> str:
+        return (
+            f"('0x' || substr(sha256('{d}' || '|' || CAST({col} AS VARCHAR)), 1, 15))"
+            f"::UBIGINT::BIGINT % {width}"
+        )
+
+    chans_build = " UNION ALL ".join(
+        f"SELECT {d} AS channel, CAST({chan_hash(d)} AS INT) AS bucket"
+        f" FROM {table_expr} WHERE {col} IS NOT NULL"
+        for d in range(depth)
+    )
+    chans_probe = " UNION ALL ".join(
+        f"SELECT CAST({col} AS VARCHAR) AS key, {d} AS channel,"
+        f" CAST({chan_hash(d)} AS INT) AS bucket"
+        f" FROM {keys_expr}"
+        for d in range(depth)
+    )
+    return f"""
+WITH cells AS ({chans_build}),
+sketch AS (
+  SELECT channel, bucket, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2
+),
+probes AS ({chans_probe})
+SELECT p.key, MIN(COALESCE(s.cnt, 0))::BIGINT AS est_count
+FROM probes p LEFT JOIN sketch s USING (channel, bucket)
+GROUP BY p.key
+"""
+
+
 def ngram_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -3,7 +3,9 @@ from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
     start_file_stream,
     stream_dedup_exact,
     stream_dedup_fuzzy,
+    stream_hll_distinct,
     stream_hourly_rollup,
+    read_hll_state,
 )
 from docling_jobkit_spark.streaming.stateful import (  # noqa: F401
     stream_sessions,

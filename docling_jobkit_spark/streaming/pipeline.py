@@ -257,3 +257,97 @@ def stream_dedup_fuzzy(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    p: int = 12,
+    schema_ddl: str = "doc_id bigint, text string",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming cardinality: maintain ONE HyperLogLog register table
+    (operators/sketches.py) across micro-batches — the "how many
+    distinct urls has this crawl seen so far" answer with O(2^p) state,
+    where streaming dropDuplicates-then-count would keep every key in
+    the state store forever.
+
+    Per batch: sketch the delta (``hll_registers``), merge with the
+    newest COMPLETE persisted register version (``hll_merge`` =
+    element-wise max — idempotent, so the at-least-once foreachBatch
+    contract still yields an exactly-correct sketch), and publish as
+    ``registers_v{batch_id}`` gated on Spark's _SUCCESS marker
+    (object-store-safe: versioned PUTs, no rename, torn writes are
+    simply never read). A replayed batch re-merges against versions
+    STRICTLY OLDER than itself — merging its own published output back
+    in would self-overwrite the directory it reads. streaming == batch
+    is pinned in tests/test_streaming.py: after the drain, the
+    persisted registers equal ``hll_registers`` over the full static
+    input.
+
+    Returns the started StreamingQuery."""
+    import os
+
+    from docling_jobkit_spark.operators.sketches import hll_merge, hll_registers
+
+    reader = spark.readStream.schema(schema_ddl).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch, col, p)
+        prev_dir = _latest_hll_version(state_dir, before=batch_id)
+        if prev_dir is not None:
+            regs = hll_merge(
+                batch.sparkSession.read.parquet(prev_dir), regs
+            )
+        # one tiny job over <= 2**p rows; coalesce(1) keeps the state a
+        # single file per version
+        regs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"registers_v{batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _latest_hll_version(state_dir: str, before: int | None = None) -> str | None:
+    """Newest COMPLETE (has _SUCCESS) register version directory,
+    optionally restricted to versions strictly below ``before``."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(state_dir):
+        if not name.startswith("registers_v"):
+            continue
+        try:
+            v = int(name.rsplit("v", 1)[1])
+        except ValueError:
+            continue
+        if before is not None and v >= before:
+            continue
+        full = os.path.join(state_dir, name)
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        if best is None or v > best[0]:
+            best = (v, full)
+    return best[1] if best else None
+
+
+def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest complete register table (raises if none published)."""
+    latest = _latest_hll_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no complete HLL state under {state_dir}")
+    return spark.read.parquet(latest)

@@ -111,6 +111,53 @@ def test_hll_merge_equals_sketch_of_union(spark):
     assert abs(est - 2000) / 2000 < 0.30  # SE at p=7 ≈ 9.2%
 
 
+def test_cms_matches_duckdb_exactly_and_never_underestimates(spark, docs, sf_dir):
+    from docling_jobkit_spark.functions.scalar import tokens
+    from docling_jobkit_spark.operators.sketches import (
+        cms_build,
+        cms_oracle_sql,
+        cms_query,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    words = docs.where(F.trim("text") != "").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    exact = words.groupBy("word").agg(F.count("*").alias("n"))
+    probes = (
+        exact.orderBy(F.col("n").desc(), F.col("word")).limit(10).select("word")
+    )
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_query(
+            cms_build(words, "word", depth=4, width=1024),
+            probes,
+            "word",
+            depth=4,
+            width=1024,
+        ).collect()
+    }
+    # exact DuckDB twin of build+probe composed
+    words_sql = (
+        "(select unnest(string_split_regex(trim(lower(text)), '\\s+')) as word"
+        f" from '{path}' where trim(text) != '')"
+    )
+    probes_sql = (
+        f"(select word from (select word, count(*) as n from {words_sql} t"
+        " group by word order by n desc, word limit 10))"
+    )
+    want = dict(
+        duckdb.sql(
+            cms_oracle_sql(f"{words_sql} t2", "word", f"{probes_sql} p", 4, 1024)
+        ).fetchall()
+    )
+    assert got == want
+    # the CMS guarantee: estimates never fall below the exact counts
+    exact_counts = {r["word"]: r["n"] for r in exact.collect()}
+    for k, est in got.items():
+        assert est >= exact_counts[k]
+
+
 def test_ngram_topk_matches_duckdb_exactly(spark, docs, sf_dir):
     path = f"{sf_dir}/documents.parquet"
     got = _rows(ngram_topk(docs, "text", n=2, k=20, min_count=2))

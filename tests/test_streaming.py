@@ -285,3 +285,54 @@ def test_stream_dedup_fuzzy_matches_batch_probe(spark, sf_dir, tmp_path):
     assert dup_ids  # hits exist
     # every indexed re-crawl (id<40, all ≥3 tokens at this sf) matches
     assert {r[0] for r in got if r[0] < 40} <= dup_ids
+
+
+def test_stream_hll_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming HLL: after draining overlapping arrival batches, the
+    persisted register table must EQUAL the batch sketch of the full
+    input (merge = element-wise max is exact, not approximate), and the
+    estimate must match the batch estimate bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from docling_jobkit_spark.streaming import (
+        read_hll_state,
+        stream_hll_distinct,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    indir = tmp_path / "hll_arrivals"
+    indir.mkdir()
+    # three overlapping slices — re-seen keys must not inflate the union
+    for name, lo, hi in (("b1", 0, 200), ("b2", 150, 350), ("b3", 300, 500)):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").select(
+            "doc_id", "text"
+        ).coalesce(1).write.parquet(str(indir / name), mode="overwrite")
+
+    state, ck = str(tmp_path / "hll_state"), str(tmp_path / "ck_hll")
+    q = stream_hll_distinct(
+        spark,
+        f"{indir}/*",
+        state,
+        ck,
+        col="doc_id",
+        p=7,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    full = docs.where("doc_id < 500").select("doc_id", "text")
+    want = sorted(map(tuple, hll_registers(full, "doc_id", 7).collect()))
+    assert got == want
+
+    est_stream = hll_estimate(
+        read_hll_state(spark, state), 7, "doc_id"
+    ).collect()[0]["estimate"]
+    est_batch = hll_estimate(hll_registers(full, "doc_id", 7), 7, "doc_id").collect()[
+        0
+    ]["estimate"]
+    assert est_stream == est_batch
