@@ -147,6 +147,74 @@ def explode_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    payload: bytes, max_side: int, fake: bool = False
+) -> dict:
+    """Image resize — STUB (no codec libs in this container).
+
+    The deterministic fake reads the fake-decoded dimensions, applies
+    the real aspect-preserving max-side arithmetic (the part a real
+    resizer shares verbatim), and emits a byte-slice stand-in whose
+    length scales with the target area — so batch memory behavior is
+    shaped like a real thumbnailer's."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an image codec library not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+    meta = decode_image(payload, fake=True)
+    w, h = max(meta["width"], 1), max(meta["height"], 1)
+    scale = min(1.0, max_side / float(max(w, h)))
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    n_out = min(len(payload), max(1, (tw * th) // 64))
+    return {
+        "src_width": w,
+        "src_height": h,
+        "width": tw,
+        "height": th,
+        "resized": payload[:n_out],
+    }
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame], max_side: int
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in ("media_id", "src_width", "src_height", "width", "height", "resized")
+        }
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            r = resize_image(bytes(payload), max_side, fake=True)
+            out["media_id"].append(mid)
+            for k in ("src_width", "src_height", "width", "height", "resized"):
+                out[k].append(r[k])
+        yield pd.DataFrame(out)
+
+
+def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """media(media_id, payload) → aspect-preserving resized payloads
+    (the thumbnail/normalize pass a vision-training pipeline runs before
+    feature extraction). Same fusion posture as explode_frames: the
+    heavy bytes stay inside the task that decoded them — resize chains
+    onto the decode batch, nothing multimodal ever shuffles."""
+    return media.select("media_id", "payload").mapInPandas(
+        lambda it: _resize_batches(it, max_side), schema=RESIZED_SCHEMA
+    )
+
+
 def media_metadata_relational(media: DataFrame) -> DataFrame:
     """The deterministic-fake metadata expressed RELATIONALLY (no Python)
     — bit-identical to the fake decoder, and SQL-oracle-checkable. At

@@ -462,6 +462,42 @@ def test_frame_sampling_explode(spark):
     assert sorted(map(str, frames)) == sorted(map(str, again))
 
 
+def test_resize_images_stub(spark):
+    from docling_jobkit_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+        resize_images,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"img", 512)
+
+    rows = [("m1", b"payload-bytes-1" * 40), ("m2", b"other-payload")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in resize_images(df, max_side=128).collect()}
+    for mid, payload in rows:
+        meta = decode_image(payload, fake=True)
+        r = got[mid]
+        assert (r["src_width"], r["src_height"]) == (
+            max(meta["width"], 1),
+            max(meta["height"], 1),
+        )
+        # aspect preserved within integer truncation; max side respected
+        assert max(r["width"], r["height"]) <= 128
+        assert r["width"] >= 1 and r["height"] >= 1
+        src_ratio = r["src_width"] / r["src_height"]
+        dst_ratio = r["width"] / r["height"]
+        assert abs(src_ratio - dst_ratio) / src_ratio < 0.05
+        assert len(bytes(r["resized"])) <= len(payload)
+    # upscale never happens: a tiny image keeps its dimensions
+    small = {r["media_id"]: r for r in resize_images(df, max_side=10**6).collect()}
+    for mid, _ in rows:
+        assert (small[mid]["width"], small[mid]["height"]) == (
+            small[mid]["src_width"],
+            small[mid]["src_height"],
+        )
+
+
 def test_short_doc_shingles_empty_both_engines(spark):
     """Docs with <k tokens must yield an EMPTY shingle set (matching the
     DuckDB oracle, whose out-of-range list accesses produce NULLs that
