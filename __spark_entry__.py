@@ -1583,6 +1583,88 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): every purchase event joined
+    to the user's most recent prior click — the union+window
+    formulation: ONE shuffle of (key, ts, right-payload), no inequality
+    join, no BroadcastNestedLoopJoin (plan-pinned in
+    tests/test_temporal.py against DuckDB's native ASOF LEFT JOIN).
+    Rows-only (window full); the exact-oracle lives in pytest."""
+    from pyspark.sql import Window
+
+    from docling_jobkit_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    # dedup clicks at identical (user, ts): keep max event_id so the
+    # as-of "which one" is deterministic
+    cw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("_rk", F.row_number().over(cw))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_id="event_id",
+        ts_col="ts",
+        right_cols=("click_id", "click_value"),
+    ).orderBy("event_id")
+
+
+def _q_range_join(spark, sf_dir):
+    """Range join (operators/temporal.py): events attributed to hourly
+    maintenance windows derived from the corpus itself — bucketed
+    interval-overlap equi-join with a residual exact predicate; a naked
+    start<=ts<=end join plans a BroadcastNestedLoopJoin (negative
+    control pinned in tests/test_temporal.py). Rows-only (window full);
+    exact inequality-join oracle in pytest."""
+    from docling_jobkit_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    # deterministic interval dimension: one window per error event,
+    # [ts, ts + 30min], tagged by its event id
+    # TIMESTAMP_NTZ needs the two-step cast (repo epoch convention)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    intervals = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("window_id"),
+            epoch.alias("start"),
+            (epoch + 1800).alias("end"),
+        )
+    )
+    points = ev.where(F.col("event_type") == "view").select(
+        "event_id", epoch.alias("ts_s")
+    )
+    joined = range_join(
+        points,
+        intervals,
+        point_col="ts_s",
+        start_col="start",
+        end_col="end",
+        bucket_width=1800,
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.min("window_id").alias("first_window"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _q_cms_counts(spark, sf_dir):
     """Count-Min sketch (operators/sketches.py): word-frequency
     estimates from a bounded d×w summary — the frequency answer whose
@@ -1906,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "zorder_layout": _q_zorder_layout,
         "cms_counts": _q_cms_counts,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 

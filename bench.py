@@ -110,6 +110,8 @@ EXTRA_TIMED_QUERIES = [
     "compact_roundtrip",
     "zorder_layout",
     "cms_counts",
+    "asof_join",
+    "range_join",
 ]
 
 

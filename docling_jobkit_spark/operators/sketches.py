@@ -84,8 +84,31 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         df.where(F.col(col).isNotNull())
         .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
-        .agg(F.max("rho").alias("register"))
+        .agg(
+            # p stamped in column metadata (the minhash_index discipline:
+            # register tables of different p silently merge into garbage
+            # otherwise; metadata survives parquet round-trips on data
+            # columns — partition columns would drop it, "register" never
+            # becomes one)
+            F.max("rho").alias("register", metadata={"hll_p": p})
+        )
     )
+
+
+def _stamped_p(registers: DataFrame) -> int | None:
+    for f in registers.schema.fields:
+        if f.name == "register":
+            return f.metadata.get("hll_p")
+    return None
+
+
+def _require_p(registers: DataFrame, p: int, where: str) -> None:
+    stamped = _stamped_p(registers)
+    if stamped is not None and stamped != p:
+        raise ValueError(
+            f"{where}: register table was built at p={stamped}, got p={p} — "
+            "mismatched sketches never agree; rebuild with one p"
+        )
 
 
 def hll_estimate(registers: DataFrame, p: int, label: str) -> DataFrame:
@@ -100,6 +123,7 @@ def hll_estimate(registers: DataFrame, p: int, label: str) -> DataFrame:
     §4); ``method`` records which branch fired so the oracle can branch
     identically.
     """
+    _require_p(registers, p, "hll_estimate")
     m = 1 << p
     s1 = (60 - p) + 1  # S + 1: scale exponent, also the rho=0 contribution
     alpha_m2_scaled = _alpha(p) * float(m) * float(m) * float(1 << s1)
@@ -143,10 +167,23 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     just approximately — pinned in tests."""
     if not register_tables:
         raise ValueError("need at least one register table")
+    stamps = {_stamped_p(t) for t in register_tables} - {None}
+    if len(stamps) > 1:
+        raise ValueError(
+            f"hll_merge: register tables built at different p {sorted(stamps)} "
+            "— mismatched sketches never agree; rebuild with one p"
+        )
+    p = next(iter(stamps), None)
     out = register_tables[0]
     for t in register_tables[1:]:
         out = out.unionByName(t)
-    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+    merged = F.max("register")
+    col = (
+        merged.alias("register", metadata={"hll_p": p})
+        if p is not None
+        else merged.alias("register")
+    )
+    return out.groupBy("bucket").agg(col)
 
 
 def hll_oracle_sql(table_expr: str, col: str, p: int, label: str) -> str:

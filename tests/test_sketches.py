@@ -111,6 +111,35 @@ def test_hll_merge_equals_sketch_of_union(spark):
     assert abs(est - 2000) / 2000 < 0.30  # SE at p=7 ≈ 9.2%
 
 
+def test_hll_p_stamp_enforced(spark, tmp_path):
+    # the minhash_index discipline: sketches of different p must RAISE,
+    # not silently merge into garbage — and the stamp must survive a
+    # parquet round-trip (the persisted-state path streaming uses)
+    from docling_jobkit_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    r6 = hll_registers(df, "k", p=6)
+    r7 = hll_registers(df, "k", p=7)
+    with pytest.raises(ValueError, match="different p"):
+        hll_merge(r6, r7)
+    with pytest.raises(ValueError, match="p=6"):
+        hll_estimate(r6, 7, "k")
+
+    path = str(tmp_path / "regs")
+    r6.write.parquet(path)
+    back = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="p=6"):
+        hll_estimate(back, 12, "k")
+    # merged output keeps the stamp
+    merged = hll_merge(back, r6)
+    with pytest.raises(ValueError, match="p=6"):
+        hll_estimate(merged, 8, "k")
+
+
 def test_cms_matches_duckdb_exactly_and_never_underestimates(spark, docs, sf_dir):
     from docling_jobkit_spark.functions.scalar import tokens
     from docling_jobkit_spark.operators.sketches import (
