@@ -1519,6 +1519,26 @@ def _q_ngram_topk(spark, sf_dir):
     return ngram_topk(docs, "text", n=2, k=20, min_count=2)
 
 
+def _q_quantile_sketch(spark, sf_dir):
+    """Log-bucket quantile sketch (operators/sketches.py::logh_*):
+    HdrHistogram/DDSketch-style mergeable quantile envelopes over the
+    documents' n_chars, with PURE INTEGER bucketing (msb via
+    length(bin(v)) + shifts — no float log whose 1-ulp engine
+    difference could flip a boundary value into the next bucket). The
+    shuffled state is a bounded (shift, top, cnt) table — the quantile
+    answer whose cost does not grow with 100 TB, and sketches merge by
+    summing counts (merge == sketch-of-union pinned exactly).
+    Rows-only (window full); the EXACT DuckDB twin
+    (sketches.logh_oracle_sql) + containment/error-bound certificates
+    are pinned in tests/test_sketches.py."""
+    from docling_jobkit_spark.operators.sketches import logh_quantile_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    return logh_quantile_sketch(
+        docs, "n_chars", qs=(0.25, 0.5, 0.9, 0.99, 1.0), sub_bits=6
+    )
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) two-dimensional file layout + prefix-cell
     pruning (operators/layout.py): documents laid out by (doc-key hash
@@ -1988,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "zorder_layout": _q_zorder_layout,
         "cms_counts": _q_cms_counts,
+        "quantile_sketch": _q_quantile_sketch,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
     }

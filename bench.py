@@ -110,6 +110,7 @@ EXTRA_TIMED_QUERIES = [
     "compact_roundtrip",
     "zorder_layout",
     "cms_counts",
+    "quantile_sketch",
     "asof_join",
     "range_join",
 ]

@@ -31,6 +31,21 @@ Determinism across engines (the repo's cross-engine rules, CLAUDE.md):
 - exactly one float division (and one ``ln`` on the linear-counting
   branch) happens at the very end, rounded to 2 decimals — no
   order-dependent float summation anywhere.
+
+- **Log-bucket quantile sketch (HdrHistogram-style)** — Tene's
+  HdrHistogram / DDSketch (Masson et al., VLDB 2019) bucketing idea,
+  realized with PURE INTEGER arithmetic so the sketch is bit-identical
+  in any engine: bucket = (shift, top) where ``shift = max(msb -
+  (sub_bits+1), 0)`` (msb via ``length(bin(v))``, the HLL rho trick)
+  and ``top = v >> shift``. Unlike DDSketch's ``ceil(ln(x)/ln(gamma))``
+  there is NO float log whose 1-ulp engine differences could flip a
+  boundary value into the neighboring bucket. The bucket table is
+  bounded (≤ ~2^(sub_bits+1) + (63-sub_bits)·2^sub_bits rows for any
+  input), map-side combined, and merges by summing counts — the same
+  rolling-corpus posture as ``hll_merge``/``cms_build``. Relative error:
+  each bucket spans ``[top<<shift, ((top+1)<<shift)-1]``, width
+  ``2^shift - 1 < lower / 2^sub_bits`` — ≤ 2^-sub_bits relative, and
+  EXACT for values below ``2^(sub_bits+1)``.
 """
 
 from __future__ import annotations
@@ -334,6 +349,181 @@ probes AS ({chans_probe})
 SELECT p.key, MIN(COALESCE(s.cnt, 0))::BIGINT AS est_count
 FROM probes p LEFT JOIN sketch s USING (channel, bucket)
 GROUP BY p.key
+"""
+
+
+_LOGH_META_KEY = "logh_sub_bits"
+
+
+def _logh_stamped_bits(sketch: DataFrame) -> int | None:
+    for f in sketch.schema.fields:
+        if f.name == "cnt":
+            return f.metadata.get(_LOGH_META_KEY)
+    return None
+
+
+def logh_buckets(df: DataFrame, col: str, sub_bits: int = 6) -> DataFrame:
+    """The log-bucket histogram for one non-negative integer metric
+    column: ``(shift, top, cnt)`` — see module docstring for the
+    encoding. Lexicographic (shift, top) order IS value order (the last
+    bucket of shift s ends at ``(2^(sub_bits+1))<<s - 1``, strictly
+    below the first bucket of s+1), which is what makes rank scans a
+    single ordered sweep.
+
+    A negative value RAISES (the mirrored-store extension of DDSketch is
+    not implemented; silently folding negatives into garbage buckets is
+    the failure mode that matters). NULLs are dropped, matching the
+    other sketches. ``sub_bits`` is stamped in column metadata — the
+    minhash_index/HLL discipline: sketches of different precision merge
+    into silent garbage otherwise."""
+    if not 1 <= sub_bits <= 20:
+        raise ValueError(f"sub_bits must be in [1, 20], got {sub_bits}")
+    c = F.col(col).cast("long")
+    v = F.when(
+        c < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"logh_buckets({col}): negative value "), c.cast("string")
+            )
+        ).cast("long"),
+    ).otherwise(c)
+    msb = F.when(F.col("_v") == 0, F.lit(0)).otherwise(F.length(F.bin("_v")))
+    return (
+        df.where(c.isNotNull())
+        .select(v.alias("_v"))
+        .select(
+            "_v",
+            F.greatest(msb - F.lit(sub_bits + 1), F.lit(0)).cast("int").alias("shift"),
+        )
+        # shiftright with a COLUMN bit count needs the SQL form (the
+        # pyspark wrapper only accepts a literal int), same as the HLL
+        # estimator's shiftleft
+        .select("shift", F.expr("shiftright(_v, shift)").alias("top"))
+        .groupBy("shift", "top")
+        .agg(F.count("*").alias("cnt", metadata={_LOGH_META_KEY: sub_bits}))
+    )
+
+
+def logh_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum of histograms == histogram of the concatenated input, EXACTLY
+    (counts are additive per bucket) — persist one tiny bucket table per
+    crawl snapshot and answer quantiles over any union of snapshots by
+    merging sketches, never rescanning (the hll_merge posture)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    stamps = {_logh_stamped_bits(t) for t in sketches} - {None}
+    if len(stamps) > 1:
+        raise ValueError(
+            f"logh_merge: sketches built at different sub_bits {sorted(stamps)} "
+            "— bucket boundaries differ; rebuild with one precision"
+        )
+    bits = next(iter(stamps), None)
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    meta = {_LOGH_META_KEY: bits} if bits is not None else None
+    summed = F.sum("cnt")
+    col = summed.alias("cnt", metadata=meta) if meta else summed.alias("cnt")
+    return out.groupBy("shift", "top").agg(col)
+
+
+def logh_quantiles(
+    sketch: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    label: str = "value",
+) -> DataFrame:
+    """Quantile envelopes from a bucket table: one row per q with
+    ``(metric, q, n_total, est_lower, est_upper)`` where the TRUE
+    rank-``ceil(q*n)`` value is guaranteed inside [est_lower, est_upper]
+    and ``est_upper - est_lower < est_lower / 2^sub_bits`` (exact
+    below ``2^(sub_bits+1)``). Deterministic under any partitioning:
+    rank scan = cumulative sum in (shift, top) order, which is value
+    order by construction.
+
+    The windows are single-partition ON PURPOSE: the bucket table is
+    BOUNDED (≤ a few thousand rows for 63-bit inputs) regardless of
+    corpus size — that is the sketch's contract; the corpus-sized work
+    happened in logh_buckets' map-side-combined groupBy."""
+    from pyspark.sql.window import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("shift", "top")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = sketch.select(
+        "shift",
+        "top",
+        F.sum("cnt").over(w_all).alias("n_total"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    # bucket lower/upper bounds are STRICTLY increasing in (shift, top)
+    # order (disjoint intervals), so min(lower)/min(upper) over the
+    # buckets whose cum reaches the rank both come from the same — the
+    # first — qualifying bucket; no argmin struct needed
+    return (
+        b.select(
+            "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+        )
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")).cast("long"))
+        .groupBy("q")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.min(F.expr("shiftleft(top, shift)")).alias("est_lower"),
+            F.min(F.expr("shiftleft(top + 1, shift) - 1")).alias("est_upper"),
+        )
+        .select(F.lit(label).alias("metric"), "q", "n_total", "est_lower", "est_upper")
+        .orderBy("q")
+    )
+
+
+def logh_quantile_sketch(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 6,
+    label: str | None = None,
+) -> DataFrame:
+    """End-to-end: quantile envelopes for ``df[col]``."""
+    return logh_quantiles(logh_buckets(df, col, sub_bits), qs, label or col)
+
+
+def logh_oracle_sql(
+    table_expr: str,
+    col: str,
+    qs: tuple[float, ...],
+    sub_bits: int,
+    label: str,
+) -> str:
+    """Exact DuckDB twin of ``logh_quantile_sketch`` — same integer
+    bucketing (bin/length/shifts are bit-identical in both engines),
+    same rank rule, kept beside the operator so encoding changes update
+    both engines in lockstep."""
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    t = sub_bits + 1
+    return f"""
+WITH vals AS (
+  SELECT CAST({col} AS BIGINT) AS v FROM {table_expr} WHERE {col} IS NOT NULL
+), bkt AS (
+  SELECT CAST(greatest((CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) - {t}, 0) AS INT) AS shift, v
+  FROM vals
+), sk AS (
+  SELECT shift, v >> shift AS top, COUNT(*)::BIGINT AS cnt FROM bkt GROUP BY 1, 2
+), c AS (
+  SELECT shift, top,
+         SUM(cnt) OVER () AS n_total,
+         SUM(cnt) OVER (ORDER BY shift, top ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sk
+), qd AS (SELECT unnest(CAST([{q_list}] AS DOUBLE[])) AS q)
+SELECT '{label}' AS metric, q, max(n_total)::BIGINT AS n_total,
+       min(top << shift)::BIGINT AS est_lower,
+       min(((top + 1) << shift) - 1)::BIGINT AS est_upper
+FROM c JOIN qd ON c.cum >= CAST(ceil(qd.q * c.n_total) AS BIGINT)
+GROUP BY q ORDER BY q
 """
 
 

@@ -222,3 +222,83 @@ def test_ngram_topk_short_docs_emit_nothing(spark):
     )
     rows = _rows(ngram_topk(df, "text", n=2, k=10, min_count=1))
     assert rows == [("a b", 2), ("b a", 1)]
+
+
+# --- log-bucket quantile sketch (logh_*) ------------------------------
+
+
+def test_logh_quantiles_match_duckdb_exactly(spark, docs, sf_dir):
+    from docling_jobkit_spark.operators.sketches import (
+        logh_oracle_sql,
+        logh_quantile_sketch,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    qs = (0.25, 0.5, 0.9, 0.99, 1.0)
+    got = _rows(logh_quantile_sketch(docs, "n_chars", qs, sub_bits=6))
+    want = [tuple(r) for r in duckdb.sql(
+        logh_oracle_sql(f"'{path}'", "n_chars", qs, 6, "n_chars")
+    ).fetchall()]
+    assert got == want
+    assert len(got) == len(qs)
+
+
+def test_logh_envelope_contains_true_quantile(spark, docs):
+    # the certificate: the TRUE rank-ceil(q*n) value lies inside
+    # [est_lower, est_upper], and the envelope width respects the
+    # 2^-sub_bits relative-error bound
+    import math
+
+    from docling_jobkit_spark.operators.sketches import logh_quantile_sketch
+
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    got = _rows(logh_quantile_sketch(docs, "n_chars", qs, sub_bits=6))
+    vals = sorted(r[0] for r in docs.select("n_chars").collect())
+    n = len(vals)
+    for _, q, n_total, lo, hi in got:
+        assert n_total == n
+        true_v = vals[math.ceil(q * n) - 1]
+        assert lo <= true_v <= hi, (q, lo, true_v, hi)
+        assert hi - lo <= max(1, lo >> 6), (q, lo, hi)
+
+
+def test_logh_merge_equals_sketch_of_union(spark, docs):
+    # sum-merge == sketching the concatenated input EXACTLY (the
+    # rolling-corpus property; hll_merge's twin for quantiles)
+    from docling_jobkit_spark.operators.sketches import logh_buckets, logh_merge
+
+    s1 = logh_buckets(docs.where(F.col("doc_id") % 2 == 0), "n_chars", 6)
+    s2 = logh_buckets(docs.where(F.col("doc_id") % 2 == 1), "n_chars", 6)
+    merged = sorted(_rows(logh_merge(s1, s2)))
+    full = sorted(_rows(logh_buckets(docs, "n_chars", 6)))
+    assert merged == full
+
+
+def test_logh_state_is_bounded_and_small_values_exact(spark):
+    # quadratic values spanning 1..10^10: the bucket table stays under
+    # the analytic cap while the input has ~1e5 distinct values; values
+    # below 2^(sub_bits+1) occupy exact singleton buckets (shift=0)
+    from docling_jobkit_spark.operators.sketches import logh_buckets
+
+    wide = spark.range(1, 100_000).select((F.col("id") * F.col("id")).alias("x"))
+    bk = logh_buckets(wide, "x", sub_bits=6)
+    rows = _rows(bk.where(F.col("shift") == 0))
+    assert bk.count() <= (64 - 7 + 1) * 64 + 128
+    assert all(cnt == 1 for _, top, cnt in rows if top < 128)
+
+
+def test_logh_mismatched_sub_bits_merge_raises(spark, docs):
+    from docling_jobkit_spark.operators.sketches import logh_buckets, logh_merge
+
+    s6 = logh_buckets(docs, "n_chars", 6)
+    s8 = logh_buckets(docs, "n_chars", 8)
+    with pytest.raises(ValueError, match="different sub_bits"):
+        logh_merge(s6, s8)
+
+
+def test_logh_negative_value_raises(spark):
+    from docling_jobkit_spark.operators.sketches import logh_buckets
+
+    df = spark.range(3).select((F.col("id") - 1).alias("x"))
+    with pytest.raises(Exception, match="negative value"):
+        logh_buckets(df, "x").collect()
