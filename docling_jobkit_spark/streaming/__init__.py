@@ -5,7 +5,9 @@ from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
     stream_dedup_fuzzy,
     stream_hll_distinct,
     stream_hourly_rollup,
+    stream_logh_quantiles,
     read_hll_state,
+    read_logh_state,
 )
 from docling_jobkit_spark.streaming.stateful import (  # noqa: F401
     stream_sessions,

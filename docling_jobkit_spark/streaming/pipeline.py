@@ -320,16 +320,19 @@ def stream_hll_distinct(
     return writer.start()
 
 
-def _latest_hll_version(state_dir: str, before: int | None = None) -> str | None:
-    """Newest COMPLETE (has _SUCCESS) register version directory,
-    optionally restricted to versions strictly below ``before``."""
+def _latest_hll_version(
+    state_dir: str, before: int | None = None, prefix: str = "registers_v"
+) -> str | None:
+    """Newest COMPLETE (has _SUCCESS) state version directory, optionally
+    restricted to versions strictly below ``before``. Shared by every
+    versioned-PUT sketch state (HLL registers, logh bucket tables)."""
     import os
 
     if not os.path.isdir(state_dir):
         return None
     best: tuple[int, str] | None = None
     for name in os.listdir(state_dir):
-        if not name.startswith("registers_v"):
+        if not name.startswith(prefix):
             continue
         try:
             v = int(name.rsplit("v", 1)[1])
@@ -350,4 +353,69 @@ def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
     latest = _latest_hll_version(state_dir)
     if latest is None:
         raise FileNotFoundError(f"no complete HLL state under {state_dir}")
+    return spark.read.parquet(latest)
+
+
+def stream_logh_quantiles(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    sub_bits: int = 6,
+    schema_ddl: str = "doc_id bigint, text string, n_chars bigint",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming quantiles: maintain ONE log-bucket histogram
+    (operators/sketches.py::logh_*) across micro-batches — the "what is
+    the p99 document size of everything this crawl has seen so far"
+    answer with BOUNDED state, where a streaming exact percentile would
+    have to retain every value.
+
+    Same versioned-PUT discipline as ``stream_hll_distinct``: per batch,
+    sketch the delta (``logh_buckets``), merge with the newest COMPLETE
+    persisted version STRICTLY OLDER than this batch_id, publish as
+    ``buckets_v{batch_id}`` gated on _SUCCESS. One honest difference
+    from the HLL twin: count-sum merge is NOT idempotent under
+    duplicated DATA the way max-merge is — exactness here rides on the
+    file source's deterministic batch composition (each input file
+    belongs to exactly one batch_id; a REPLAYED batch re-merges the same
+    delta against the same older version and overwrites its own dir,
+    which is idempotent). That is the exactly-once contract Structured
+    Streaming's checkpoint provides; streaming == batch is pinned in
+    tests/test_streaming.py over disjoint arrival slices.
+
+    Returns the started StreamingQuery."""
+    import os
+
+    from docling_jobkit_spark.operators.sketches import logh_buckets, logh_merge
+
+    reader = spark.readStream.schema(schema_ddl).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sk = logh_buckets(batch, col, sub_bits)
+        prev_dir = _latest_hll_version(state_dir, before=batch_id, prefix="buckets_v")
+        if prev_dir is not None:
+            sk = logh_merge(batch.sparkSession.read.parquet(prev_dir), sk)
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"buckets_v{batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_logh_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest complete bucket table (raises if none published)."""
+    latest = _latest_hll_version(state_dir, prefix="buckets_v")
+    if latest is None:
+        raise FileNotFoundError(f"no complete logh state under {state_dir}")
     return spark.read.parquet(latest)

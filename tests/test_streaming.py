@@ -336,3 +336,54 @@ def test_stream_hll_matches_batch_sketch(spark, sf_dir, tmp_path):
         0
     ]["estimate"]
     assert est_stream == est_batch
+
+
+def test_stream_logh_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming log-bucket quantiles: after draining DISJOINT arrival
+    batches (counts are additive — each row must count exactly once),
+    the persisted bucket table must EQUAL the batch sketch of the full
+    input, and the quantile envelopes must match bit-for-bit."""
+    from docling_jobkit_spark.operators.sketches import (
+        logh_buckets,
+        logh_quantiles,
+    )
+    from docling_jobkit_spark.streaming import (
+        read_logh_state,
+        stream_logh_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    indir = tmp_path / "logh_arrivals"
+    indir.mkdir()
+    for name, lo, hi in (("b1", 0, 180), ("b2", 180, 330), ("b3", 330, 500)):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").select(
+            "doc_id", "text", "n_chars"
+        ).coalesce(1).write.parquet(str(indir / name), mode="overwrite")
+
+    state, ck = str(tmp_path / "logh_state"), str(tmp_path / "ck_logh")
+    q = stream_logh_quantiles(
+        spark,
+        f"{indir}/*",
+        state,
+        ck,
+        col="n_chars",
+        sub_bits=6,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, read_logh_state(spark, state).collect()))
+    full = docs.where("doc_id < 500")
+    want = sorted(map(tuple, logh_buckets(full, "n_chars", 6).collect()))
+    assert got == want
+
+    qs = (0.5, 0.9, 0.99)
+    q_stream = [
+        tuple(r)
+        for r in logh_quantiles(read_logh_state(spark, state), qs, "n_chars").collect()
+    ]
+    q_batch = [
+        tuple(r)
+        for r in logh_quantiles(logh_buckets(full, "n_chars", 6), qs, "n_chars").collect()
+    ]
+    assert q_stream == q_batch
