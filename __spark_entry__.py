@@ -275,6 +275,25 @@ def _q_ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=5, n_probe=2)
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (encode once, ADC shortlist, exact re-rank
+    of the shortlist only) — the memory-side scale path: the ANN scan
+    reads the m-byte code column instead of the raw vectors (~50-100x
+    less bandwidth at 100 TB). Iterative codebook training → no SQL
+    oracle (rows-only driver check); encode/ADC are pinned code-for-code
+    against a pure-Python reference in tests/test_pq.py."""
+    from docling_jobkit_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, ksub=16, n_iter=3, sample_n=256)
+    encoded = pq_encode(emb, books)
+    return pq_topk(encoded, _query_vec(spark, sf_dir), books, k=10, rerank=50)
+
+
 def _q_char_chunks(spark, sf_dir):
     from docling_jobkit_spark.operators.chunker import char_chunks
 
@@ -2011,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": _q_quantile_sketch,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "pq_topk": _q_pq_topk,
     }
 
 

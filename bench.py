@@ -113,6 +113,7 @@ EXTRA_TIMED_QUERIES = [
     "quantile_sketch",
     "asof_join",
     "range_join",
+    "pq_topk",
 ]
 
 
