@@ -294,6 +294,43 @@ def _q_pq_topk(spark, sf_dir):
     return pq_topk(encoded, _query_vec(spark, sf_dir), books, k=10, rerank=50)
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    """THE composed at-scale ANN layout, exercised for real: IVF cells +
+    PQ codes materialized once, written partitionBy(ivf_cell) (probe
+    prunes partitions at the FILE LISTING), read back, ADC over the
+    m-byte code column inside the probed cells, exact re-rank of the
+    shortlist only. Rows-only (iterative codebook training); the
+    roundtrip-equality, stamp-enforcement, and reference-exactness are
+    pinned in tests/test_pq.py. Output dir is per-process."""
+    import os
+    import tempfile
+
+    from docling_jobkit_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from docling_jobkit_spark.operators.similarity import (
+        kmeans_centroids,
+        with_ivf_cells,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, n_iter=3, sample_n=256)
+    books = train_pq_codebooks(emb, m=8, ksub=16, n_iter=3, sample_n=256)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    pq_encode(with_ivf_cells(emb, cents), books).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cell").parquet(out)
+    back = spark.read.parquet(out)
+    return ivf_pq_topk(
+        back, _query_vec(spark, sf_dir), cents, books, k=10, n_probe=2, rerank=50
+    )
+
+
 def _q_char_chunks(spark, sf_dir):
     from docling_jobkit_spark.operators.chunker import char_chunks
 
@@ -2031,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "pq_topk": _q_pq_topk,
+        "ivf_pq_topk": _q_ivf_pq_topk,
     }
 
 

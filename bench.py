@@ -114,6 +114,7 @@ EXTRA_TIMED_QUERIES = [
     "asof_join",
     "range_join",
     "pq_topk",
+    "ivf_pq_topk",
 ]
 
 

@@ -271,3 +271,61 @@ def pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    table: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """THE at-scale similarity plan — IVF × PQ composed: the table was
+    laid out once by ``with_ivf_cells`` + ``pq_encode`` (at 100 TB:
+    ``partitionBy("ivf_cell")``, so the probe prunes whole partitions at
+    the FILE LISTING), the candidate scan inside the probed cells reads
+    only the m-byte ``pq_code`` column (ADC — 50-100x less bandwidth
+    than raw vectors), and the raw vector column is touched only for the
+    ``rerank``-row shortlist. IO pruned by IVF, bandwidth pruned by PQ,
+    exactness restored by the re-rank — each stage's stamp (codebook
+    identity on ``ivf_cell``/vector metadata, PQ codebook on
+    ``pq_code``) is verified, so a probe against either wrong codebook
+    raises instead of silently searching the wrong cells/codes."""
+    # reuse the IVF family's stamp discipline (raises on mismatch)
+    from docling_jobkit_spark.operators.similarity import probe_cells
+
+    fields = {f.name: f for f in table.schema.fields}
+    if "ivf_cell" not in fields:
+        raise ValueError("ivf_cell missing: run with_ivf_cells first")
+    vec_field = fields.get(vec_col)
+    meta = dict(vec_field.metadata or {}) if vec_field is not None else {}
+    meta.update(fields["ivf_cell"].metadata or {})
+    stored_k = meta.get("ivf_k")
+    if stored_k is not None and stored_k != len(centroids):
+        raise ValueError(
+            f"table was materialized with k={stored_k}, probe uses "
+            f"k={len(centroids)} centroids — cells would not correspond"
+        )
+    stored_cb = meta.get("ivf_codebook")
+    if stored_cb is not None:
+        from docling_jobkit_spark.operators.similarity import codebook_id
+
+        if stored_cb != codebook_id(centroids):
+            raise ValueError(
+                "table was materialized with a different IVF codebook — "
+                "probed cell ids would not correspond to these centroids"
+            )
+    probe = probe_cells(query_vec, centroids, n_probe)
+    return pq_topk(
+        table.filter(F.col("ivf_cell").isin(probe)),
+        query_vec,
+        codebooks,
+        k=k,
+        rerank=rerank,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

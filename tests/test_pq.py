@@ -125,6 +125,48 @@ def test_stamp_survives_parquet_and_mismatch_raises(spark, emb, books, tmp_path)
         pq_topk(emb, q, books, k=5)
 
 
+def test_ivf_pq_composed_layout_roundtrip(spark, emb, books, tmp_path):
+    """The full at-scale layout: with_ivf_cells + pq_encode, written
+    partitionBy(ivf_cell), read back, probed — results must equal the
+    in-memory composition, both stamps must survive the roundtrip, and
+    either wrong codebook must raise."""
+    from docling_jobkit_spark.operators.pq import ivf_pq_topk, pq_encode, pq_topk
+    from docling_jobkit_spark.operators.similarity import (
+        kmeans_centroids,
+        with_ivf_cells,
+    )
+    from pyspark.sql import functions as F
+
+    cents = kmeans_centroids(emb, k=4, n_iter=3, sample_n=128)
+    laid = pq_encode(with_ivf_cells(emb, cents), books)
+    path = str(tmp_path / "ivf_pq_table")
+    laid.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    back = spark.read.parquet(path)
+
+    q = [float(x) for x in emb.filter("vec_id = 17").first()["embedding"]]
+    got = ivf_pq_topk(back, q, cents, books, k=5, n_probe=2, rerank=25).collect()
+    want = ivf_pq_topk(laid, q, cents, books, k=5, n_probe=2, rerank=25).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # consistency with plain pq_topk over the probed subset
+    from docling_jobkit_spark.operators.similarity import probe_cells
+
+    probe = probe_cells(q, cents, 2)
+    subset = laid.filter(F.col("ivf_cell").isin(probe))
+    direct = pq_topk(subset, q, books, k=5, rerank=25).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in want] == [
+        (r["vec_id"], r["cosine"]) for r in direct
+    ]
+
+    wrong_cents = [[x + 1.0 for x in c] for c in cents]
+    with pytest.raises(ValueError, match="different IVF codebook"):
+        ivf_pq_topk(back, q, wrong_cents, books, k=5)
+    wrong_books = [[[x + 1.0 for x in c] for c in b] for b in books]
+    with pytest.raises(ValueError, match="different PQ codebook"):
+        ivf_pq_topk(back, q, cents, wrong_books, k=5)
+
+
 def test_null_embedding_gets_null_code_and_is_filtered(spark, books):
     from docling_jobkit_spark.operators.pq import pq_encode, pq_topk
 
