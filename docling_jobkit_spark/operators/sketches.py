@@ -277,8 +277,62 @@ def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> Dat
         df.where(c.isNotNull())
         .select(F.explode(channels).alias("ch"))
         .groupBy(F.col("ch.channel").alias("channel"), F.col("ch.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            # shape stamped in column metadata (the hll_p discipline):
+            # sketches of different (depth, width) silently merge/probe
+            # into garbage otherwise
+            F.count("*").alias(
+                "cnt", metadata={"cms_depth": depth, "cms_width": width}
+            )
+        )
     )
+
+
+def _cms_stamp(sketch: DataFrame) -> tuple[int, int] | None:
+    for f in sketch.schema.fields:
+        if f.name == "cnt":
+            d = f.metadata.get("cms_depth")
+            w = f.metadata.get("cms_width")
+            if d is not None and w is not None:
+                return (d, w)
+    return None
+
+
+def _require_cms_shape(sketch: DataFrame, depth: int, width: int, where: str) -> None:
+    stamped = _cms_stamp(sketch)
+    if stamped is not None and stamped != (depth, width):
+        raise ValueError(
+            f"{where}: sketch was built at (depth, width)={stamped}, got "
+            f"({depth}, {width}) — mismatched sketches never agree; "
+            "rebuild with one shape"
+        )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of inputs = cell-wise SUM of counts — the rolling-corpus
+    merge (persist one bounded sketch per crawl snapshot; the frequency
+    summary of any union is a merge, never a rescan). Exactly equal to
+    sketching the concatenated input — count-sum is linear, pinned in
+    tests. Raises when the inputs' stamped shapes differ."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    stamps = {_cms_stamp(s) for s in sketches} - {None}
+    if len(stamps) > 1:
+        raise ValueError(
+            f"cms_merge: sketches built at different shapes {sorted(stamps)} "
+            "— mismatched sketches never agree; rebuild with one shape"
+        )
+    shape = next(iter(stamps), None)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    summed = F.sum("cnt")
+    col = (
+        summed.alias("cnt", metadata={"cms_depth": shape[0], "cms_width": shape[1]})
+        if shape is not None
+        else summed.alias("cnt")
+    )
+    return out.groupBy("channel", "bucket").agg(col)
 
 
 def cms_query(sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
@@ -286,7 +340,9 @@ def cms_query(sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, widt
     key's bucket count (absent cells are exact zeros). ``keys`` is a
     small frame of distinct probe keys — the join broadcasts the probes'
     (channel, bucket) pairs against the bounded sketch; neither side is
-    corpus-sized."""
+    corpus-sized. Raises when the sketch's stamped shape differs from
+    the probe parameters (the probe would hash into the wrong cells)."""
+    _require_cms_shape(sketch, depth, width, "cms_query")
     c = F.col(col).cast("string")
     probes = keys.select(
         c.alias("key"),

@@ -419,3 +419,67 @@ def read_logh_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no complete logh state under {state_dir}")
     return spark.read.parquet(latest)
+
+
+def stream_cms_counts(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    schema_ddl: str = "doc_id bigint, text string",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming frequencies: maintain ONE Count-Min sketch
+    (operators/sketches.py::cms_*) across micro-batches — the "how
+    often has this crawl seen each host/token so far" answer with
+    d×w-bounded state, where a streaming exact groupBy(key) count keeps
+    every distinct key in the state store forever.
+
+    Same versioned-PUT discipline as ``stream_logh_quantiles`` (and the
+    same exactly-once contract: count-sum merge is linear, not
+    idempotent under duplicated DATA — a replayed batch re-merges the
+    same delta against the same strictly-older version and overwrites
+    its own directory, which IS idempotent; the file source's
+    checkpoint guarantees each input file lands in exactly one
+    batch_id). State versions publish as ``cms_v{batch_id}`` gated on
+    _SUCCESS; streaming == batch (cell-for-cell equality with
+    ``cms_build`` over the full static input) is pinned in
+    tests/test_streaming.py.
+
+    Returns the started StreamingQuery."""
+    import os
+
+    from docling_jobkit_spark.operators.sketches import cms_build, cms_merge
+
+    reader = spark.readStream.schema(schema_ddl).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch, col, depth, width)
+        prev_dir = _latest_hll_version(state_dir, before=batch_id, prefix="cms_v")
+        if prev_dir is not None:
+            sk = cms_merge(batch.sparkSession.read.parquet(prev_dir), sk)
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"cms_v{batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest complete CMS cell table (raises if none published)."""
+    latest = _latest_hll_version(state_dir, prefix="cms_v")
+    if latest is None:
+        raise FileNotFoundError(f"no complete CMS state under {state_dir}")
+    return spark.read.parquet(latest)

@@ -187,6 +187,55 @@ def test_cms_matches_duckdb_exactly_and_never_underestimates(spark, docs, sf_dir
         assert est >= exact_counts[k]
 
 
+def test_cms_merge_equals_sketch_of_union(spark):
+    # the rolling-corpus property for frequencies: merge-of-sketches ==
+    # sketch-of-union, EXACTLY (count-sum is linear), incl. keys seen in
+    # both snapshots
+    from docling_jobkit_spark.operators.sketches import cms_build, cms_merge
+
+    a = spark.range(0, 600).select((F.col("id") % 37).cast("string").alias("k"))
+    b = spark.range(0, 400).select((F.col("id") % 23).cast("string").alias("k"))
+    merged = cms_merge(
+        cms_build(a, "k", depth=3, width=64), cms_build(b, "k", depth=3, width=64)
+    )
+    direct = cms_build(a.unionByName(b), "k", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_shape_stamp_enforced(spark, tmp_path):
+    # sketches of different (depth, width) must RAISE on merge AND on
+    # probe — and the stamp must survive the parquet round-trip the
+    # streaming state takes
+    from docling_jobkit_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    s1 = cms_build(df, "k", depth=3, width=64)
+    s2 = cms_build(df, "k", depth=4, width=64)
+    with pytest.raises(ValueError, match="different shapes"):
+        cms_merge(s1, s2)
+    probes = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match=r"\(depth, width\)=\(3, 64\)"):
+        cms_query(s1, probes, "k", depth=4, width=64)
+
+    path = str(tmp_path / "cms")
+    s1.write.parquet(path)
+    back = spark.read.parquet(path)
+    with pytest.raises(ValueError, match=r"\(3, 64\)"):
+        cms_query(back, probes, "k", depth=3, width=128)
+    # merged output keeps the stamp
+    merged = cms_merge(back, s1)
+    with pytest.raises(ValueError, match=r"\(3, 64\)"):
+        cms_query(merged, probes, "k", depth=4, width=64)
+    # matching shape still works after the round-trip
+    assert cms_query(back, probes, "k", depth=3, width=64).count() == 5
+
+
 def test_ngram_topk_matches_duckdb_exactly(spark, docs, sf_dir):
     path = f"{sf_dir}/documents.parquet"
     got = _rows(ngram_topk(docs, "text", n=2, k=20, min_count=2))

@@ -387,3 +387,60 @@ def test_stream_logh_matches_batch_sketch(spark, sf_dir, tmp_path):
         for r in logh_quantiles(logh_buckets(full, "n_chars", 6), qs, "n_chars").collect()
     ]
     assert q_stream == q_batch
+
+
+def test_stream_cms_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming Count-Min: after draining DISJOINT arrival batches
+    (count-sum is linear — each row must count exactly once), the
+    persisted cell table must EQUAL the batch sketch of the full input,
+    probes through the state must equal batch probes, and the shape
+    stamp must survive the state round-trip."""
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.operators.sketches import cms_build, cms_query
+    from docling_jobkit_spark.streaming import read_cms_state, stream_cms_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    indir = tmp_path / "cms_arrivals"
+    indir.mkdir()
+    for name, lo, hi in (("b1", 0, 180), ("b2", 180, 330), ("b3", 330, 500)):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.parquet(str(indir / name), mode="overwrite")
+
+    state, ck = str(tmp_path / "cms_state"), str(tmp_path / "ck_cms")
+    q = stream_cms_counts(
+        spark,
+        f"{indir}/*",
+        state,
+        ck,
+        col="lang",
+        depth=3,
+        width=64,
+        schema_ddl="doc_id bigint, text string, lang string",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, read_cms_state(spark, state).collect()))
+    full = docs.where("doc_id < 500").select("doc_id", "text", "lang")
+    want = sorted(map(tuple, cms_build(full, "lang", 3, 64).collect()))
+    assert got == want
+
+    probes = full.select("lang").distinct()
+    est_stream = {
+        r["key"]: r["est_count"]
+        for r in cms_query(
+            read_cms_state(spark, state), probes, "lang", 3, 64
+        ).collect()
+    }
+    est_batch = {
+        r["key"]: r["est_count"]
+        for r in cms_query(cms_build(full, "lang", 3, 64), probes, "lang", 3, 64).collect()
+    }
+    assert est_stream == est_batch
+    # a mismatched-shape probe against the persisted state raises
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\(3, 64\)"):
+        cms_query(read_cms_state(spark, state), probes, "lang", 4, 64)
