@@ -1563,6 +1563,25 @@ def _q_hll_distinct(spark, sf_dir):
     )
 
 
+def _q_hll_grouped(spark, sf_dir):
+    """Grouped HLL (operators/sketches.py::hll_registers_by /
+    hll_estimate_by): distinct-document estimates PER LANGUAGE with
+    n_groups × 2^p bounded state — the per-host / per-language
+    cardinality answer where exact countDistinct shuffles every
+    (group, key) pair. Rows-only (window full); EXACT DuckDB twin
+    (hll_grouped_oracle_sql) + merge-by-group == sketch-of-union are
+    pinned in tests/test_sketches.py."""
+    from docling_jobkit_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return hll_estimate_by(hll_registers_by(docs, "lang", "text", p=7), p=7).orderBy(
+        "grp"
+    )
+
+
 def _q_ngram_topk(spark, sf_dir):
     """Corpus heavy hitters (operators/sketches.py::ngram_topk): top-20
     word bigrams with a total (count desc, gram asc) ordering. Map-side
@@ -2069,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "pq_topk": _q_pq_topk,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "hll_grouped": _q_hll_grouped,
     }
 
 

@@ -115,6 +115,7 @@ EXTRA_TIMED_QUERIES = [
     "range_join",
     "pq_topk",
     "ivf_pq_topk",
+    "hll_grouped",
 ]
 
 

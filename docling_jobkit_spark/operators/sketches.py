@@ -237,6 +237,128 @@ FROM agg
 """
 
 
+def hll_registers_by(
+    df: DataFrame, group_col: str, col: str, p: int = 12
+) -> DataFrame:
+    """Grouped HLL: one register table PER GROUP — ``(group, bucket,
+    register)`` with at most ``2^p`` rows per group. The scale answer to
+    "distinct urls per host / distinct docs per language" where an exact
+    ``groupBy(g).agg(countDistinct(k))`` shuffles every (group, key)
+    pair: here the shuffle is bounded by ``n_groups × 2^p`` regardless
+    of corpus size, and the per-group state merges across snapshots like
+    the global sketch (``hll_merge_by``). Same hash, rho, and stamp
+    discipline as ``hll_registers``."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    s_bits = 60 - p
+    h = _hash60(col)
+    bucket = F.shiftright(h, s_bits).cast("int")
+    r = h % F.lit(1 << s_bits)
+    bitlen = F.when(r == 0, F.lit(0)).otherwise(F.length(F.bin(r)))
+    rho = (F.lit(s_bits) - bitlen + F.lit(1)).cast("int")
+    return (
+        df.where(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("register", metadata={"hll_p": p}))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int) -> DataFrame:
+    """One estimate row per group from a ``hll_registers_by`` table —
+    identical math and branch rule to ``hll_estimate``, evaluated per
+    group (map-side-combinable aggregation over the bounded register
+    rows; nothing corpus-sized moves)."""
+    _require_p(registers, p, "hll_estimate_by")
+    m = 1 << p
+    s1 = (60 - p) + 1
+    alpha_m2_scaled = _alpha(p) * float(m) * float(m) * float(1 << s1)
+    contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), {s1} - register)")
+    agg = registers.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("z_present"),
+    )
+    v_zero = F.lit(m) - F.col("n_present")
+    z_scaled = F.col("z_present") + v_zero * F.lit(1 << s1).cast("long")
+    e_raw = F.lit(alpha_m2_scaled) / z_scaled.cast("double")
+    use_lc = (e_raw <= F.lit(2.5 * m)) & (v_zero > 0)
+    e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+    return agg.select(
+        F.col("grp"),
+        v_zero.cast("int").alias("v_zero"),
+        F.when(use_lc, F.lit("linear_counting"))
+        .otherwise(F.lit("hll_raw"))
+        .alias("method"),
+        F.round(F.when(use_lc, e_lc).otherwise(e_raw), 2).alias("estimate"),
+    )
+
+
+def hll_merge_by(*register_tables: DataFrame) -> DataFrame:
+    """Grouped-sketch merge: element-wise max per (group, bucket) —
+    exactly the sketch of the unioned input, per group. Same p-stamp
+    enforcement as ``hll_merge``."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    stamps = {_stamped_p(t) for t in register_tables} - {None}
+    if len(stamps) > 1:
+        raise ValueError(
+            f"hll_merge_by: register tables built at different p {sorted(stamps)} "
+            "— mismatched sketches never agree; rebuild with one p"
+        )
+    p = next(iter(stamps), None)
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    merged = F.max("register")
+    col = (
+        merged.alias("register", metadata={"hll_p": p})
+        if p is not None
+        else merged.alias("register")
+    )
+    return out.groupBy("grp", "bucket").agg(col)
+
+
+def hll_grouped_oracle_sql(table_expr: str, group_col: str, col: str, p: int) -> str:
+    """Exact DuckDB twin of ``hll_registers_by`` + ``hll_estimate_by``
+    composed — same 60-bit sha prefix, integer-scaled denominator,
+    branch rule, and rounding, evaluated per group."""
+    m = 1 << p
+    s_bits = 60 - p
+    s1 = s_bits + 1
+    alpha_m2_scaled = _alpha(p) * float(m) * float(m) * float(1 << s1)
+    e_raw = (
+        f"({alpha_m2_scaled!r} / CAST(z_present + ({m} - n_present)"
+        f" * CAST({1 << s1} AS BIGINT) AS DOUBLE))"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substr(sha256(CAST({col} AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM {table_expr}
+  WHERE {col} IS NOT NULL AND {group_col} IS NOT NULL
+), regs AS (
+  SELECT grp, CAST(h // {1 << s_bits} AS INT) AS bucket,
+         MAX({s_bits} - (CASE WHEN h % {1 << s_bits} = 0 THEN 0
+                              ELSE length(bin(h % {1 << s_bits})) END) + 1) AS register
+  FROM hashed GROUP BY grp, bucket
+), agg AS (
+  SELECT grp, COUNT(*) AS n_present,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({s1} - register)), 0) AS BIGINT) AS z_present
+  FROM regs GROUP BY grp
+)
+SELECT grp,
+       CAST({m} - n_present AS INT) AS v_zero,
+       CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_present) > 0
+            THEN 'linear_counting' ELSE 'hll_raw' END AS method,
+       round(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_present) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+                  ELSE {e_raw} END, 2) AS estimate
+FROM agg
+"""
+
+
 def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
     ``(channel, bucket, cnt)`` with at most ``depth × width`` rows —

@@ -140,6 +140,68 @@ def test_hll_p_stamp_enforced(spark, tmp_path):
         hll_estimate(merged, 8, "k")
 
 
+def test_hll_grouped_matches_duckdb_exactly(spark, docs, sf_dir):
+    """Per-group sketch + estimate must equal the DuckDB twin row for
+    row (the 'distinct docs per language' query at bounded state)."""
+    from docling_jobkit_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_grouped_oracle_sql,
+        hll_registers_by,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    got = sorted(
+        map(
+            tuple,
+            hll_estimate_by(hll_registers_by(docs, "lang", "text", p=7), p=7).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                hll_grouped_oracle_sql(f"'{path}' t", "lang", "text", 7)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # sanity: estimates track the exact per-group distinct counts
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    for grp, _vz, _m, est in got:
+        assert abs(est - exact[grp]) / max(exact[grp], 1) < 0.35
+
+
+def test_hll_grouped_merge_equals_sketch_of_union(spark, docs):
+    from docling_jobkit_spark.operators.sketches import (
+        hll_merge_by,
+        hll_registers_by,
+    )
+
+    a = docs.where("doc_id < 300")
+    b = docs.where("doc_id >= 200")  # overlapping snapshots
+    merged = hll_merge_by(
+        hll_registers_by(a, "lang", "text", p=6),
+        hll_registers_by(b, "lang", "text", p=6),
+    )
+    direct = hll_registers_by(a.unionByName(b), "lang", "text", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # p-stamp discipline holds for the grouped family too
+    import pytest
+
+    with pytest.raises(ValueError, match="different p"):
+        hll_merge_by(
+            hll_registers_by(a, "lang", "text", p=6),
+            hll_registers_by(b, "lang", "text", p=7),
+        )
+
+
 def test_cms_matches_duckdb_exactly_and_never_underestimates(spark, docs, sf_dir):
     from docling_jobkit_spark.functions.scalar import tokens
     from docling_jobkit_spark.operators.sketches import (
