@@ -237,6 +237,38 @@ FROM agg
 """
 
 
+def hll_intersect_estimate(
+    a: DataFrame, b: DataFrame, p: int, label: str = "intersection"
+) -> DataFrame:
+    """Inclusion-exclusion estimate of |A ∩ B| from two register tables:
+    est(A) + est(B) - est(A ∪ B), where the union estimate comes from
+    ``hll_merge`` (exact sketch algebra) — the "how many urls do these
+    two crawl snapshots share" answer without rescanning either corpus.
+
+    HONEST LIMITS: unlike union (exact sketch-of-union), intersection by
+    inclusion-exclusion inherits the additive error of THREE estimates —
+    the relative error blows up when |A ∩ B| << |A ∪ B| (standard HLL
+    caveat; a theta/KMV sketch is the right tool when small
+    intersections must be resolved). The estimate is clamped at 0.
+    p-stamp discipline enforced on both inputs via the merge."""
+    est_a = hll_estimate(a, p, "a")
+    est_b = hll_estimate(b, p, "b")
+    est_u = hll_estimate(hll_merge(a, b), p, "u")
+    # three one-row frames; a cross of 1×1×1 rows is a bounded scalar
+    # join, not a data join
+    joined = (
+        est_a.select(F.col("estimate").alias("ea"))
+        .crossJoin(est_b.select(F.col("estimate").alias("eb")))
+        .crossJoin(est_u.select(F.col("estimate").alias("eu")))
+    )
+    return joined.select(
+        F.lit(label).alias("column"),
+        F.round(
+            F.greatest(F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)), 2
+        ).alias("estimate"),
+    )
+
+
 def hll_registers_by(
     df: DataFrame, group_col: str, col: str, p: int = 12
 ) -> DataFrame:

@@ -111,6 +111,32 @@ def test_hll_merge_equals_sketch_of_union(spark):
     assert abs(est - 2000) / 2000 < 0.30  # SE at p=7 ≈ 9.2%
 
 
+def test_hll_intersect_estimate_tracks_true_overlap(spark):
+    from docling_jobkit_spark.operators.sketches import (
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    # |A| = 1500, |B| = 1500, |A ∩ B| = 1000 — a LARGE overlap relative
+    # to the union, where inclusion-exclusion is statistically sound
+    a = spark.range(0, 1500).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(500, 2000).select(F.col("id").cast("string").alias("k"))
+    ra = hll_registers(a, "k", p=9)
+    rb = hll_registers(b, "k", p=9)
+    est = hll_intersect_estimate(ra, rb, p=9).collect()[0]["estimate"]
+    # three estimates at p=9 (SE ≈ 4.6% each) compound; allow 25%
+    assert abs(est - 1000) / 1000 < 0.25, est
+    # disjoint sketches estimate a near-zero intersection, never negative
+    c = spark.range(10_000, 11_500).select(F.col("id").cast("string").alias("k"))
+    est0 = hll_intersect_estimate(ra, hll_registers(c, "k", p=9), p=9).collect()[0][
+        "estimate"
+    ]
+    assert est0 >= 0.0 and est0 < 300, est0
+    # p mismatch raises (stamp discipline holds end to end)
+    with pytest.raises(ValueError, match="rebuild with one p"):
+        hll_intersect_estimate(ra, hll_registers(c, "k", p=8), p=9)
+
+
 def test_hll_p_stamp_enforced(spark, tmp_path):
     # the minhash_index discipline: sketches of different p must RAISE,
     # not silently merge into garbage — and the stamp must survive a
