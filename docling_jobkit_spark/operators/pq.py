@@ -249,10 +249,19 @@ def pq_topk(
         ),
         6,
     )
-    scored = (
-        encoded.filter(F.col("pq_code").isNotNull())
-        .withColumn("adc_dist", adc)
+    # pq_code is NULL iff the vector is NULL (pq_encode's when-guard).
+    # When the raw vector column is present, filter on ITS nullness: in
+    # the encode-on-the-fly path pq_code is an EXPENSIVE interpreted
+    # projection, and a filter on it is pushed below the projection and
+    # re-inlines the whole encode chain (the CLAUDE.md
+    # filter-above-materialization pitfall); the vector column is a
+    # cheap stored attribute in both paths.
+    null_guard = (
+        F.col(vec_col).isNotNull()
+        if vec_col in encoded.columns
+        else F.col("pq_code").isNotNull()
     )
+    scored = encoded.filter(null_guard).withColumn("adc_dist", adc)
     if rerank <= 0:
         return (
             scored.select(F.col(id_col), F.col("adc_dist"))
