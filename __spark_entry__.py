@@ -1678,6 +1678,81 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode normalization stage (operators/textnorm.py): NFC via an
+    Arrow-batched pandas UDF with an is_normalized fast path (Spark has
+    no built-in), then a fused JVM regexp chain — typographic
+    canonicalization + whitespace discipline, the pre-dedup/pre-training
+    stage every webtext pipeline (CCNet/Gopher/RefinedWeb/C4) runs.
+    Rows-only (window full); the EXACT DuckDB twin
+    (textnorm.normalize_oracle_sql — byte-identical escape-rendered
+    patterns fed to both engines) is pinned in tests/test_textnorm.py
+    on adversarial unicode AND corpus text."""
+    from docling_jobkit_spark.operators.textnorm import normalize_col
+
+    docs = _read(spark, sf_dir, "documents")
+    # two-level projection: the UDF-bearing chain is aliased once below
+    # and referenced twice above (CollapseProject won't duplicate a
+    # Python UDF, so NFC runs once per row)
+    normed = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        normalize_col(F.col("text")).alias("norm"),
+    )
+    return normed.select(
+        "doc_id",
+        "n_chars_raw",
+        F.length("norm").alias("n_chars_norm"),
+        F.sha2("norm", 256).alias("norm_hash"),
+    ).orderBy("doc_id")
+
+
+def _q_stats_pruned_scan(spark, sf_dir):
+    """Zone-map pruned scan (operators/zonemap.py): documents clustered
+    on n_chars into range-contiguous files, a per-file min/max manifest
+    built from parquet FOOTERS only (read on executors via mapInPandas
+    over a JVM-side exploded file list), then a range query that reads
+    only the surviving files by explicit path — no directory listing,
+    no footer opens on skipped files. This is the Iceberg-manifest
+    mechanism from scratch: at 10^12 docs the planner reads a metadata
+    table instead of millions of object-store footer GETs. Rows-only:
+    file layout has no DuckDB twin; the row carries its own certificate
+    (pruned row set == full-scan filter, files_kept < files_total) and
+    tests/test_zonemap.py pins footer-stat exactness, conservative
+    missing-stat handling, the numeric-only truncation-safety policy,
+    and exactness on an adversarially unclustered layout."""
+    import os
+    import tempfile
+
+    from docling_jobkit_spark.operators.zonemap import (
+        build_zonemap,
+        scan_pruned,
+        write_clustered,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_zonemap_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    write_clustered(docs, out, "n_chars", n_files=16)
+    zm = build_zonemap(spark, out, ["n_chars"]).localCheckpoint()
+    lo, hi = docs.agg(
+        F.expr("percentile(n_chars, 0.4)"), F.expr("percentile(n_chars, 0.6)")
+    ).collect()[0]
+    pruned, kept, total = scan_pruned(spark, zm, "n_chars", float(lo), float(hi))
+    full = docs.where(F.col("n_chars").between(F.lit(float(lo)), F.lit(float(hi))))
+    n_pruned, n_full = pruned.count(), full.count()
+    return spark.range(1).select(
+        F.lit(total).alias("files_total"),
+        F.lit(kept).alias("files_kept"),
+        F.lit(n_pruned).cast("long").alias("n_rows_pruned_read"),
+        F.lit(n_full).cast("long").alias("n_rows_full_filter"),
+        F.lit(bool(n_pruned == n_full)).alias("rows_match"),
+        F.lit(bool(kept < total)).alias("pruned"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2089,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ivf_pq_topk": _q_ivf_pq_topk,
         "hll_grouped": _q_hll_grouped,
+        "stats_pruned_scan": _q_stats_pruned_scan,
+        "normalize_text": _q_normalize_text,
     }
 
 

@@ -116,6 +116,8 @@ EXTRA_TIMED_QUERIES = [
     "pq_topk",
     "ivf_pq_topk",
     "hll_grouped",
+    "stats_pruned_scan",
+    "normalize_text",
 ]
 
 

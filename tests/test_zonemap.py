@@ -1,0 +1,123 @@
+"""Zone maps (operators/zonemap.py): footer-stats exactness, prune
+safety (pruned row set == full-scan filter row set, on clustered AND
+adversarially unclustered layouts), conservative handling of missing
+stats, the numeric-only policy, and actual file skipping."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.operators.zonemap import (
+    _widen_down,
+    _widen_up,
+    build_zonemap,
+    prune_files,
+    scan_pruned,
+    write_clustered,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("zm") / "clustered")
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("long").alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    write_clustered(df, out, "v", n_files=16)
+    return out
+
+
+def test_widening_is_conservative():
+    big = (1 << 60) + 1  # not float-representable
+    assert _widen_down(big) <= big
+    assert _widen_up(big) >= big
+    assert _widen_down(5) == 5.0 and _widen_up(5) == 5.0
+    assert _widen_up(_widen_down(big)) != math.inf
+
+
+def test_zonemap_matches_true_file_minmax(spark, clustered):
+    zm = build_zonemap(spark, clustered, ["v"]).cache()
+    truth = (
+        spark.read.parquet(clustered)
+        .select(F.input_file_name().alias("file"), "v")
+        .groupBy("file")
+        .agg(F.min("v").alias("tmin"), F.max("v").alias("tmax"), F.count("*").alias("tn"))
+    )
+    joined = zm.join(truth, "file", "full").collect()
+    assert joined and all(r["tmin"] is not None and r["vmin"] is not None for r in joined)
+    for r in joined:
+        assert r["has_stats"]
+        assert r["vmin"] == float(r["tmin"]) and r["vmax"] == float(r["tmax"])
+        assert r["n_rows"] == r["tn"]
+
+
+def test_pruned_scan_row_set_exact_and_skips_files(spark, clustered):
+    zm = build_zonemap(spark, clustered, ["v"]).cache()
+    lo, hi = 10.0, 24.0
+    df, kept, total = scan_pruned(spark, zm, "v", lo, hi)
+    full = spark.read.parquet(clustered).where(F.col("v").between(lo, hi))
+    assert df.count() == full.count()
+    assert (
+        df.agg(F.sum("id"), F.sum("v")).collect()[0]
+        == full.agg(F.sum("id"), F.sum("v")).collect()[0]
+    )
+    # range-clustered 0..96 into 16 files: a 15-value band must skip
+    # most files even with sampled seam wobble
+    assert total >= 8 and kept < total / 2
+    # the scan's inputFiles are exactly the survivors
+    assert len(set(df.inputFiles())) == kept
+
+
+def test_empty_survivor_set_returns_typed_empty_frame(spark, clustered):
+    zm = build_zonemap(spark, clustered, ["v"])
+    df, kept, total = scan_pruned(spark, zm, "v", 1e9, 2e9)
+    assert kept == 0 and total > 0
+    assert df.count() == 0
+    assert dict(df.dtypes)["v"] == "bigint"
+
+
+def test_unclustered_layout_still_exact_just_less_pruned(spark, tmp_path):
+    out = str(tmp_path / "scattered")
+    df = spark.range(4_000).select(
+        F.col("id"), (F.col("id") % 97).cast("long").alias("v")
+    )
+    # adversarial layout: hash-scattered on an unrelated key
+    df.repartition(8, F.sha2(F.col("id").cast("string"), 256)).write.parquet(out)
+    zm = build_zonemap(spark, out, ["v"])
+    got, kept, total = scan_pruned(spark, zm, "v", 10.0, 24.0)
+    full = spark.read.parquet(out).where(F.col("v").between(10.0, 24.0))
+    assert got.count() == full.count() > 0
+    assert kept == total  # every file spans the domain: zero skips, zero loss
+
+
+def test_missing_stats_column_is_kept_not_pruned(spark, clustered, tmp_path):
+    # a file written WITHOUT the column simulates schema evolution
+    extra = str(tmp_path / "evolved")
+    spark.range(5).select(F.col("id")).write.parquet(extra)
+    zm = build_zonemap(spark, extra, ["v"])
+    rows = zm.collect()
+    assert rows and all(not r["has_stats"] for r in rows)
+    kept, total = prune_files(zm, "v", 0.0, 1.0)
+    assert kept and len(kept) == total
+
+
+def test_string_column_raises_numeric_only_policy(spark, clustered):
+    zm = build_zonemap(spark, clustered, ["payload"])
+    with pytest.raises(Exception) as ei:
+        zm.collect()
+    assert "numeric-only" in str(ei.value)
+
+
+def test_footer_only_io_no_data_columns_read(spark, clustered):
+    # the zonemap plan over the file list must not contain a parquet
+    # scan node: the file paths appear only as literals in the exploded
+    # array, and the data files are opened footer-only inside the UDF
+    zm = build_zonemap(spark, clustered, ["v"])
+    plan = zm._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
