@@ -162,6 +162,12 @@ def build_zonemap(
     from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
 
     files = [_canon(p) for p, _ in _list_parquet_files(spark, path)]
+    return _zonemap_for_files(spark, files, cols)
+
+
+def _zonemap_for_files(
+    spark: SparkSession, files: list[str], cols: Sequence[str]
+) -> DataFrame:
     if not files:
         return spark.createDataFrame([], ZONEMAP_SCHEMA)
     cols = list(cols)
@@ -234,6 +240,55 @@ def scan_pruned(
     if not kept:
         df = df.where(F.lit(False))
     return df, len(kept), total
+
+
+def write_zonemap(zm: DataFrame, path: str) -> None:
+    """Persist a manifest (tiny parquet — one coalesced file; the
+    manifest for a million-file table is a few hundred MB, for a test
+    table a few KB)."""
+    zm.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_zonemap(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def update_zonemap(
+    spark: SparkSession,
+    table_path: str,
+    zonemap: DataFrame | None,
+    cols: Sequence[str],
+) -> tuple[DataFrame, int, int]:
+    """Incremental manifest maintenance (Iceberg manifest-append from
+    scratch): reconcile a persisted zone map with the files actually on
+    disk, reading footers ONLY for files the manifest has never seen.
+    Appends are O(delta); compactions/rewrites drop the vanished files'
+    rows and stat only their replacements. Returns
+    (merged manifest, n_new_files, n_dropped_files).
+
+    The reconciliation is a driver-side set diff over file PATHS —
+    metadata-scale, the same listing cost ``build_zonemap`` and
+    compaction already pay. Steady state (no new files) reads zero
+    footers, the incremental-resume discipline of ``checkpoint.py``
+    applied to scan planning."""
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    on_disk = {_canon(p) for p, _ in _list_parquet_files(spark, table_path)}
+    if zonemap is None:
+        zm = build_zonemap(spark, table_path, cols)
+        return zm, len(on_disk), 0
+
+    known = {r["file"] for r in zonemap.select("file").distinct().collect()}
+    new_files = sorted(on_disk - known)
+    stale = known - on_disk
+
+    kept = zonemap
+    if stale:
+        kept = kept.where(~F.col("file").isin(sorted(stale)))
+    if new_files:
+        fresh = _zonemap_for_files(spark, new_files, cols)
+        kept = kept.unionByName(fresh)
+    return kept, len(new_files), len(stale)
 
 
 def write_clustered(

@@ -121,3 +121,45 @@ def test_footer_only_io_no_data_columns_read(spark, clustered):
     zm = build_zonemap(spark, clustered, ["v"])
     plan = zm._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
+def test_incremental_update_reads_only_new_footers(spark, tmp_path):
+    from docling_jobkit_spark.operators.zonemap import (
+        read_zonemap,
+        update_zonemap,
+        write_zonemap,
+    )
+
+    table = str(tmp_path / "tbl")
+    zmp = str(tmp_path / "zm")
+    base = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 50).cast("long").alias("v")
+    )
+    base.repartition(4).write.parquet(table)
+    zm0, n_new, n_drop = update_zonemap(spark, table, None, ["v"])
+    assert n_drop == 0 and n_new == len(set(zm0.select("file").toPandas()["file"]))
+    write_zonemap(zm0, zmp)
+
+    # steady state: nothing new, nothing dropped, zero footer reads
+    zm1, n_new, n_drop = update_zonemap(spark, table, read_zonemap(spark, zmp), ["v"])
+    assert (n_new, n_drop) == (0, 0)
+
+    # append: only the delta is statted; merged == from-scratch rebuild
+    spark.range(1_000, 1_500).select(
+        F.col("id"), (F.col("id") % 50).cast("long").alias("v")
+    ).repartition(2).write.mode("append").parquet(table)
+    zm2, n_new, n_drop = update_zonemap(spark, table, zm1, ["v"])
+    assert n_new == 2 and n_drop == 0
+    from docling_jobkit_spark.operators.zonemap import build_zonemap
+
+    full = build_zonemap(spark, table, ["v"])
+    a = sorted(map(tuple, zm2.toPandas().itertuples(index=False)))
+    b = sorted(map(tuple, full.toPandas().itertuples(index=False)))
+    assert a == b
+
+    # rewrite (compaction): stale entries dropped, replacements statted
+    zm2p = zm2.localCheckpoint()
+    spark.read.parquet(table).coalesce(1).write.mode("overwrite").parquet(table + "2")
+    zm3, n_new, n_drop = update_zonemap(spark, table + "2", zm2p, ["v"])
+    assert n_new == 1 and n_drop == 6
+    assert zm3.count() == 1 + 0
