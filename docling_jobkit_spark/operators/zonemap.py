@@ -205,19 +205,35 @@ def _zonemap_for_files(
 def prune_files(
     zonemap: DataFrame, col: str, lo: float, hi: float
 ) -> tuple[list[str], int]:
-    """(surviving file paths, total file count) for ``col BETWEEN lo AND
-    hi``. A file survives unless its stats PROVE it misses the range;
-    missing stats always survive. The collect is manifest-sized
-    (metadata, not data) — the same planner-side cost Iceberg pays
-    reading manifests."""
-    zm = zonemap.where(F.col("col") == col)
-    keep = zm.where(
-        (~F.col("has_stats"))
-        | ((F.col("vmax") >= F.lit(float(lo))) & (F.col("vmin") <= F.lit(float(hi))))
-    )
-    kept = [r["file"] for r in keep.select("file").collect()]
-    total = zm.select("file").distinct().count()
-    return kept, total
+    """(surviving file paths, total file count) for ``col BETWEEN lo
+    AND hi`` — single-column form of ``prune_files_multi``."""
+    return prune_files_multi(zonemap, {col: (lo, hi)})
+
+
+def prune_files_multi(
+    zonemap: DataFrame, ranges: dict[str, tuple[float, float]]
+) -> tuple[list[str], int]:
+    """Conjunctive (AND) pruning over several columns: a file is
+    EXCLUDED if ANY column's stats prove its range misses the query —
+    exclusion sets compose, missing stats never exclude. One manifest
+    filter + distinct; the collect is metadata-sized (the planner-side
+    cost Iceberg pays reading manifests)."""
+    if not ranges:
+        raise ValueError("ranges must name at least one column")
+    miss = F.lit(False)
+    for col, (lo, hi) in ranges.items():
+        miss = miss | (
+            (F.col("col") == col)
+            & F.col("has_stats")
+            & ((F.col("vmax") < F.lit(float(lo))) | (F.col("vmin") > F.lit(float(hi))))
+        )
+    all_files = zonemap.select("file").distinct()
+    excluded = zonemap.where(miss).select("file").distinct()
+    kept = [
+        r["file"]
+        for r in all_files.join(excluded, "file", "left_anti").collect()
+    ]
+    return sorted(kept), all_files.count()
 
 
 def scan_pruned(
@@ -227,16 +243,28 @@ def scan_pruned(
     lo: float,
     hi: float,
 ) -> tuple[DataFrame, int, int]:
-    """Range scan that reads ONLY the zone-map survivors (explicit file
-    paths — no directory listing) and re-applies the exact row
-    predicate. Returns (df, files_kept, files_total); an empty survivor
-    set returns an empty, correctly-typed frame via an impossible
-    filter on one file (parquet schema still comes from the footer)."""
-    kept, total = prune_files(zonemap, col, lo, hi)
+    """Single-column form of ``scan_pruned_multi``."""
+    return scan_pruned_multi(spark, zonemap, {col: (lo, hi)})
+
+
+def scan_pruned_multi(
+    spark: SparkSession,
+    zonemap: DataFrame,
+    ranges: dict[str, tuple[float, float]],
+) -> tuple[DataFrame, int, int]:
+    """Conjunctive range scan that reads ONLY the zone-map survivors
+    (explicit file paths — no directory listing) and re-applies the
+    exact row predicates. Returns (df, files_kept, files_total); an
+    empty survivor set returns an empty, correctly-typed frame via an
+    impossible filter on one file (parquet schema still comes from the
+    footer)."""
+    kept, total = prune_files_multi(zonemap, ranges)
     src = kept if kept else [
         r["file"] for r in zonemap.select("file").limit(1).collect()
     ]
-    df = spark.read.parquet(*src).where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    df = spark.read.parquet(*src)
+    for col, (lo, hi) in ranges.items():
+        df = df.where(F.col(col).between(F.lit(float(lo)), F.lit(float(hi))))
     if not kept:
         df = df.where(F.lit(False))
     return df, len(kept), total

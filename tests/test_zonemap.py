@@ -163,3 +163,43 @@ def test_incremental_update_reads_only_new_footers(spark, tmp_path):
     zm3, n_new, n_drop = update_zonemap(spark, table + "2", zm2p, ["v"])
     assert n_new == 1 and n_drop == 6
     assert zm3.count() == 1 + 0
+
+
+def test_multi_column_conjunctive_prune(spark, tmp_path):
+    from docling_jobkit_spark.operators.zonemap import (
+        build_zonemap,
+        prune_files_multi,
+        scan_pruned_multi,
+    )
+
+    out = str(tmp_path / "two_dim")
+    # v range-clustered; w rides along correlated with v (w = 2v) so
+    # both columns' stats are narrow per file
+    df = spark.range(8_000).select(
+        F.col("id"),
+        (F.col("id") % 80).cast("long").alias("v"),
+        ((F.col("id") % 80) * 2).cast("long").alias("w"),
+    )
+    df.repartitionByRange(10, F.col("v")).sortWithinPartitions("v").write.parquet(out)
+    zm = build_zonemap(spark, out, ["v", "w"]).localCheckpoint()
+
+    # conjunction: v in [10,20] AND w in [0, 10] — w excludes files v
+    # alone would keep (w=2v means w<=10 implies v<=5, disjoint from
+    # v>=10 → provably empty at the FILE level for clustered files)
+    got, kept, total = scan_pruned_multi(spark, zm, {"v": (10, 20), "w": (0, 10)})
+    full = (
+        spark.read.parquet(out)
+        .where(F.col("v").between(10, 20) & F.col("w").between(0, 10))
+    )
+    assert got.count() == full.count() == 0
+    kept_v, _ = prune_files_multi(zm, {"v": (10.0, 20.0)})
+    assert kept < len(kept_v) or kept == 0  # the w condition tightened it
+
+    # satisfiable conjunction stays exact
+    got2, kept2, total2 = scan_pruned_multi(spark, zm, {"v": (10, 20), "w": (20, 30)})
+    full2 = (
+        spark.read.parquet(out)
+        .where(F.col("v").between(10, 20) & F.col("w").between(20, 30))
+    )
+    assert got2.count() == full2.count() > 0
+    assert kept2 <= len(kept_v) and kept2 < total2
