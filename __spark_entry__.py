@@ -1753,6 +1753,75 @@ def _q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+def _q_incremental_ingest(spark, sf_dir):
+    """Incremental corpus ingestion (plans/ingest.py): the composed
+    production loop run for two consecutive crawl snapshots against one
+    batch-versioned state directory — curation funnel → history dedup
+    (exact content-hash + fuzzy MinHash-index probe, both reading ONLY
+    previously committed batch deltas, both broadcasting the DELTA so
+    history never shuffles) → commit corpus parquet + seen hashes +
+    index delta + JSONL shards + incrementally reconciled zone-map
+    manifest + attrition ledger (the ledger's _SUCCESS is the commit
+    marker, written last — replay-idempotent, torn-commit-safe, pinned
+    in tests/test_ingest.py). Batch B plants exact and lightly-edited
+    re-posts of batch A's COMMITTED survivors so both history stages
+    have real work. Returns both batches' ledgers. Rows-only
+    (composite: file-layout state + iterative cluster resolution; the
+    oracle window is full); the per-stage semantics have exact oracles
+    through their standalone entries (curation_funnel, dedup_exact,
+    minhash_lsh) and the replay/ledger contracts live in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import IngestConfig, ingest_batch
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 1)  # bounded: the loop runs TWICE
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+        .select("doc_id", "url", "text")
+    )
+    batch_a = base.where(F.col("doc_id") % 3 != 0)
+    fresh_b = base.where(F.col("doc_id") % 3 == 0)
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_ingest_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    cfg = IngestConfig()
+    res_a = ingest_batch(spark, batch_a, state, "2026-01", config=cfg)
+    # batch A holds doc_id % 3 ∈ {1, 2} and the % 4 == 1 subsample makes
+    # every id ODD — plant along the mod-3 classes, never parity
+    committed = res_a.kept.select("doc_id", "text")
+    exact_reposts = committed.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror.example.org/x/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("text"),
+    )
+    # >300 chars ≈ 50+ tokens: appending a 3-token notice keeps true
+    # Jaccard ≈ 0.9, well above tau=0.8 for the 64-channel estimate
+    near_reposts = committed.where(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") > 300)
+    ).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://cache.example.org/y/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(F.col("text"), F.lit(" Archived copy notice.")).alias("text"),
+    )
+    batch_b = fresh_b.unionByName(exact_reposts).unionByName(near_reposts)
+    res_b = ingest_batch(spark, batch_b, state, "2026-02", config=cfg)
+    return (
+        res_a.ledger.withColumn("batch", F.lit("2026-01"))
+        .unionByName(res_b.ledger.withColumn("batch", F.lit("2026-02")))
+        .orderBy("batch", "stage_order")
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2166,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_grouped": _q_hll_grouped,
         "stats_pruned_scan": _q_stats_pruned_scan,
         "normalize_text": _q_normalize_text,
+        "incremental_ingest": _q_incremental_ingest,
     }
 
 

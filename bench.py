@@ -118,6 +118,7 @@ EXTRA_TIMED_QUERIES = [
     "hll_grouped",
     "stats_pruned_scan",
     "normalize_text",
+    "incremental_ingest",
 ]
 
 

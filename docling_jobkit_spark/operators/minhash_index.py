@@ -153,12 +153,27 @@ def update_minhash_index(
     write_minhash_index(df, path, text_col, id_col, mode="append")
 
 
-def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+def read_minhash_index(
+    spark: SparkSession,
+    path: str | list[str],
+    base_path: str | None = None,
+) -> DataFrame:
     """Read an index back, verifying the stamped family digest against
     the library's current family. A silent mismatch is the failure
     mode that matters: foreign signatures never agree, so every probe
-    would return 'no duplicates' and look perfectly healthy."""
-    idx = spark.read.parquet(path)
+    would return 'no duplicates' and look perfectly healthy.
+
+    ``path`` may be a LIST of delta directories (the ingest plan keeps
+    one per committed batch so a replay can probe exactly the history
+    that excludes itself); pass ``base_path`` = the index root so the
+    partition columns above the listed leaves survive discovery."""
+    paths = [path] if isinstance(path, str) else list(path)
+    if not paths:
+        raise ValueError("read_minhash_index needs at least one path")
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    idx = reader.parquet(*paths)
     fields = {f.name: f for f in idx.schema.fields}
     for col in ("bucket", "sig"):
         if col not in fields:

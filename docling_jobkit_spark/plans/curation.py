@@ -231,17 +231,23 @@ def curate_corpus(
     return CurationResult(stamped=s, kept=kept, ledger=funnel_ledger(s))
 
 
-def funnel_ledger(stamped: DataFrame) -> DataFrame:
+def funnel_ledger(
+    stamped: DataFrame, stages: tuple[str, ...] = STAGES
+) -> DataFrame:
     """(stage_order, stage, docs_in, docs_dropped, docs_kept) — one row
     per stage, docs_in(k) = docs_in(k-1) - docs_dropped(k-1). One small
     agg + a window over the 8-row stage dimension; the corpus total is
     a single bounded scalar (the pagerank dangling-mass precedent —
-    joining a 1-row total onto the dim plans a nested-loop join)."""
+    joining a 1-row total onto the dim plans a nested-loop join).
+
+    ``stages`` lets composed plans that extend the funnel (the ingest
+    plan's history-dedup stages) reuse the same arithmetic over their
+    longer stage dimension."""
     spark = stamped.sparkSession
     total = stamped.count()
     # stage dimension via range(1)+explode — never createDataFrame(list)
     dim = spark.range(1).select(
-        F.posexplode(F.array(*[F.lit(st) for st in STAGES])).alias(
+        F.posexplode(F.array(*[F.lit(st) for st in stages])).alias(
             "stage_order", "stage"
         )
     )

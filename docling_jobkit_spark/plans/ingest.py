@@ -1,0 +1,340 @@
+"""Incremental corpus ingestion — the composed production loop.
+
+One batch of documents in; out comes everything a rolling 100 TB
+training-data corpus accretes per crawl snapshot, under ONE state
+directory, batch-versioned and replay-idempotent:
+
+    curation funnel (plans/curation.py, within-batch)
+      → history dedup (exact content-hash + fuzzy MinHash-index probe
+        against EVERY previously committed batch — never recomputed)
+      → commit: corpus parquet + seen-hash table + MinHash index delta
+        + gzip-JSONL training shards + zone-map manifest + attrition
+        ledger.
+
+Reference parity: docling-jobkit's job model is exactly this loop run
+by hand — convert a batch, cache results keyed by task identity, feed
+targets (reference ``docling_jobkit/connectors`` result stores +
+``targets``); this plan is that loop as one deterministic Spark
+composition with the curation/dedup semantics a webtext pipeline
+needs (FineWeb/RefinedWeb-style funnel, CCNet-style rolling dedup).
+
+State layout (all per-batch families are ``<family>/batch=<id>``):
+
+    corpus/batch=<id>/   committed docs (doc_id, url, text,
+                         content_hash, n_chars) — text is post-PII
+    seen/batch=<id>/     distinct content hashes of that batch
+    index/batch=<id>/    MinHash band delta (band-partitioned,
+                         family-digest stamped — minhash_index.py)
+    shards/batch=<id>/   gzip JSONL training shards
+    zonemap/             manifest over corpus/ (shared, reconciled
+                         incrementally — operators/zonemap.py)
+    ledger/batch=<id>/   per-stage attrition rows; its _SUCCESS is
+                         the batch's COMMIT MARKER (written last)
+
+Replay contract (at-least-once driver, exactly-once state):
+
+- A batch whose ledger marker exists is committed: ``ingest_batch``
+  returns the recorded result without running anything.
+- History probes read only family dirs whose OWN ``_SUCCESS`` exists
+  and whose batch id differs from the current one, so a crash between
+  any two commit steps replays exactly: the rerun cannot see its own
+  partial appends (probe-BEFORE-append generalized to probe-NEVER-
+  SELF), and per-batch dirs are rewritten mode=overwrite. The pipeline
+  is deterministic given (input batch, committed history), so a
+  partially committed delta another batch may already have probed is
+  byte-identical to what the replay rewrites.
+- The shared zone-map manifest is reconciled against the files on
+  disk every commit (``update_zonemap`` reads footers only for unseen
+  files); losing it entirely just means one full rebuild.
+
+Single-writer per state_dir: batches commit sequentially (a crawl
+cadence, not a concurrency domain). The intra-batch exactly-once
+machinery for page extraction remains checkpoint.py's manifest PUT.
+
+Scale shape: the delta is small next to history, so both history
+probes broadcast the DELTA and stream the history side map-side —
+the index is never shuffled (minhash_index steady-state plan) and the
+seen table is never shuffled (broadcast hash semi-join). Stage stamps
+and dedup joins move (id, hash)-narrow rows only; document text
+crosses the wire exactly once, into the commit writes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.functions.scalar import content_hash, stable_hash64
+from docling_jobkit_spark.operators.minhash_index import (
+    dedup_incremental,
+    read_minhash_index,
+    write_minhash_index,
+)
+from docling_jobkit_spark.operators.zonemap import (
+    read_zonemap,
+    update_zonemap,
+    write_zonemap,
+)
+from docling_jobkit_spark.plans.curation import (
+    STAGES,
+    CurationConfig,
+    _drop_flagged,
+    curate_corpus,
+    funnel_ledger,
+)
+from docling_jobkit_spark.sinks.writers import write_training_shards
+
+HISTORY_STAGES = ("history_exact", "history_fuzzy")
+INGEST_STAGES = STAGES + HISTORY_STAGES
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+# Explicit read schemas: an all-dropped batch commits EMPTY dirs
+# (marker only, no part files) and schema inference would fail there.
+CORPUS_SCHEMA = (
+    "doc_id bigint, url string, text string, content_hash string, n_chars bigint"
+)
+SEEN_SCHEMA = "content_hash string"
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    curation: CurationConfig = field(default_factory=CurationConfig)
+    tau: float = 0.8  # fuzzy threshold vs history (est. Jaccard)
+    broadcast_delta: bool = True  # steady state: delta ≪ history
+    zonemap_cols: tuple[str, ...] = ("n_chars",)
+    max_records_per_file: int = 50_000
+    max_shard_bytes: int | None = None
+
+
+@dataclass(frozen=True)
+class IngestResult:
+    batch_id: str
+    replayed: bool  # True = commit marker existed; nothing ran
+    ledger: DataFrame  # read back from the COMMITTED ledger dir
+    kept: DataFrame  # read back from the COMMITTED corpus dir
+    n_new_zonemap_files: int  # footers read this commit (0 on replay)
+
+
+def docs_from_extraction(results: DataFrame) -> DataFrame:
+    """Extraction results (operators/extract_op.py RESULT schema) →
+    the ingest doc shape (doc_id, url, text). FAILURE rows carry no
+    text and are dropped here — the extraction pipeline's own metrics
+    account for them (metrics.job_summary); the ingest ledger accounts
+    for curation/history attrition only. doc_id is a deterministic
+    60-bit hash of (url, content_hash): stable under any partitioning,
+    distinct for same-url re-crawls with different payloads (repo
+    invariant: urls are NOT unique)."""
+    ok = results.where(F.col("status") != "FAILURE")
+    return ok.select(
+        stable_hash64(
+            F.concat_ws("\x1f", F.col("url"), F.col("content_hash"))
+        ).alias("doc_id"),
+        F.col("url"),
+        F.col("extracted_text").alias("text"),
+    )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _committed_batch_dirs(spark: SparkSession, family_root: str) -> dict[str, str]:
+    """{batch_id: dir} for ``family_root/batch=<id>`` dirs whose own
+    ``_SUCCESS`` exists — a torn write (no committer marker) is
+    invisible to history probes. One driver-side LIST (object-store
+    safe, no rename assumptions), metadata-scale."""
+    fs, jroot = _fs(spark, family_root)
+    if not fs.exists(jroot):
+        return {}
+    jvm = spark.sparkContext._jvm
+    out: dict[str, str] = {}
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out[name[len("batch="):]] = st.getPath().toString()
+    return out
+
+
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs(spark, path)
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
+def _history_dirs(
+    spark: SparkSession, family_root: str, current: str
+) -> list[str]:
+    """Committed, non-empty, non-self batch dirs — an all-dropped batch
+    commits a marker-only dir that carries nothing to probe."""
+    dirs = _committed_batch_dirs(spark, family_root)
+    return [
+        d
+        for b, d in sorted(dirs.items())
+        if b != current and _has_data_files(spark, d)
+    ]
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    benchmark: DataFrame | None = None,
+    config: IngestConfig | None = None,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> IngestResult:
+    """Run one snapshot through the full loop (module docstring).
+    ``docs`` needs (id, url, text) — raw pages go through
+    ``extract_documents`` + ``docs_from_extraction`` first."""
+    cfg = config or IngestConfig()
+    if not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match {_BATCH_ID_RE.pattern}, got {batch_id!r}"
+        )
+    root = state_dir.rstrip("/")
+    corpus_root = f"{root}/corpus"
+    seen_root = f"{root}/seen"
+    index_root = f"{root}/index"
+    shards_root = f"{root}/shards"
+    ledger_root = f"{root}/ledger"
+    zonemap_dir = f"{root}/zonemap"
+    corpus_dir = f"{corpus_root}/batch={batch_id}"
+    ledger_dir = f"{ledger_root}/batch={batch_id}"
+
+    # -- replay guard: the ledger marker IS the commit record ---------
+    if _exists(spark, f"{ledger_dir}/_SUCCESS"):
+        return IngestResult(
+            batch_id=batch_id,
+            replayed=True,
+            ledger=spark.read.parquet(ledger_dir),
+            kept=spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir),
+            n_new_zonemap_files=0,
+        )
+
+    # -- within-batch curation funnel (8 stages, first-fail stamps) ---
+    cur = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        config=cfg.curation,
+        text_col=text_col,
+        id_col=id_col,
+        url_col=url_col,
+        materialize=True,
+    )
+    stamped = cur.stamped  # carries redacted_text for survivors
+
+    # -- history exact: committed content hashes, self-batch excluded -
+    # History streams map-side against the broadcast delta (the delta
+    # is the small side at steady state) — the seen table, like the
+    # index, is NEVER shuffled.
+    seen_dirs = _history_dirs(spark, seen_root, batch_id)
+    if seen_dirs:
+        hist_hashes = (
+            spark.read.option("basePath", seen_root)
+            .schema(SEEN_SCHEMA)
+            .parquet(*seen_dirs)
+            .select("content_hash")
+        )
+        delta_hashes = stamped.where(F.col("drop_stage").isNull()).select(
+            F.col(id_col),
+            content_hash(F.col("redacted_text")).alias("content_hash"),
+        )
+        if cfg.broadcast_delta:
+            delta_hashes = F.broadcast(delta_hashes)
+        flagged = hist_hashes.join(delta_hashes, on="content_hash").select(id_col)
+        stamped = _drop_flagged(
+            stamped, flagged, id_col, "history_exact", F.lit("seen_content_hash")
+        )
+
+    # -- history fuzzy: MinHash probe of committed index deltas -------
+    idx_dirs = _history_dirs(spark, index_root, batch_id)
+    if idx_dirs:
+        idx = read_minhash_index(spark, idx_dirs, base_path=index_root)
+        surv = stamped.where(F.col("drop_stage").isNull()).select(
+            F.col(id_col).alias("doc_id"),
+            F.col("redacted_text").alias("text"),
+        )
+        verdicts = dedup_incremental(
+            surv, idx, tau=cfg.tau, broadcast_new=cfg.broadcast_delta
+        )
+        flagged = verdicts.where(F.col("is_dup")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        stamped = _drop_flagged(
+            stamped, flagged, id_col, "history_fuzzy", F.lit("near_dup_of_history")
+        )
+
+    # The final stamped frame feeds the ledger AND the commit writes —
+    # materialize once past the probe joins (repo invariant:
+    # multi-consumer lineage recomputes otherwise); delta-sized.
+    stamped = stamped.localCheckpoint(eager=True)
+
+    # -- commit (ordered; ledger marker LAST) --------------------------
+    kept = stamped.where(F.col("drop_stage").isNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.col("redacted_text").alias("text"),
+    )
+    kept = kept.withColumn("content_hash", content_hash(F.col("text"))).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    kept.write.mode("overwrite").parquet(corpus_dir)
+    # every downstream artifact derives from the COMMITTED bytes
+    committed = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+
+    committed.select("content_hash").distinct().write.mode("overwrite").parquet(
+        f"{seen_root}/batch={batch_id}"
+    )
+    write_minhash_index(
+        committed.select("doc_id", "text"),
+        f"{index_root}/batch={batch_id}",
+        mode="overwrite",
+    )
+    write_training_shards(
+        committed,
+        f"{shards_root}/batch={batch_id}",
+        text_col="text",
+        meta_cols=("url", "content_hash"),
+        max_records_per_file=cfg.max_records_per_file,
+        max_shard_bytes=cfg.max_shard_bytes,
+    )
+
+    zm_prev = (
+        read_zonemap(spark, zonemap_dir) if _exists(spark, zonemap_dir) else None
+    )
+    zm, n_new, _n_drop = update_zonemap(
+        spark, corpus_root, zm_prev, list(cfg.zonemap_cols)
+    )
+    # overwrite reads lazily from the dir being replaced — break the
+    # self-dependency before writing (manifest is metadata-sized)
+    zm = zm.localCheckpoint(eager=True)
+    write_zonemap(zm, zonemap_dir)
+
+    ledger = funnel_ledger(stamped, stages=INGEST_STAGES)
+    ledger.coalesce(1).write.mode("overwrite").parquet(ledger_dir)
+
+    return IngestResult(
+        batch_id=batch_id,
+        replayed=False,
+        ledger=spark.read.parquet(ledger_dir),
+        kept=committed,
+        n_new_zonemap_files=n_new,
+    )

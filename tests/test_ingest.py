@@ -1,0 +1,187 @@
+"""Incremental ingest loop (plans/ingest.py): batch-versioned state,
+history dedup (exact + fuzzy) that never recomputes committed batches,
+replay idempotence (committed no-op AND torn-commit recovery), ledger
+arithmetic over the extended stage dimension, and the zone-map
+manifest's incremental reconciliation across batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.plans.curation import CurationConfig
+from docling_jobkit_spark.plans.ingest import (
+    INGEST_STAGES,
+    IngestConfig,
+    ingest_batch,
+)
+
+CFG = IngestConfig(curation=CurationConfig(), tau=0.8)
+
+
+def _batch_a(spark, sf_dir):
+    import __spark_entry__ as e
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", e._synth_url())
+        .select("doc_id", "url", "text")
+    )
+    return base.where(F.col("doc_id") % 3 != 0), base.where(F.col("doc_id") % 3 == 0)
+
+
+def _make_batch_b(fresh_b, kept_a):
+    """Fresh docs PLUS planted history dups derived from batch A's
+    COMMITTED survivors (so every planted row genuinely exists in
+    history): exact re-posts (new url, committed text verbatim →
+    history_exact) and lightly edited re-posts (one appended sentence
+    on LONG docs → estimated Jaccard stays >= tau → history_fuzzy)."""
+    committed = kept_a.select("doc_id", "text")
+    exact_reposts = committed.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.lit("https://mirror.example.org/x/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    near_reposts = (
+        committed.where((F.col("doc_id") % 2 == 1) & (F.length("text") > 2000))
+        .select(
+            (F.col("doc_id") + 800_000).alias("doc_id"),
+            F.concat(F.lit("https://cache.example.org/y/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.col("text"), F.lit(" Archived copy notice.")).alias("text"),
+        )
+    )
+    return fresh_b.unionByName(exact_reposts).unionByName(near_reposts)
+
+
+@pytest.fixture(scope="module")
+def state(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ingest_state"))
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "2026-01", config=CFG)
+    b = _make_batch_b(fresh_b, res_a.kept)
+    res_b = ingest_batch(spark, b, root, "2026-02", config=CFG)
+    return root, a, b, res_a, res_b
+
+
+def _stage_counts(ledger) -> dict[str, int]:
+    return {r["stage"]: r["docs_dropped"] for r in ledger.collect()}
+
+
+def test_ledger_arithmetic_and_stage_dimension(state):
+    _, a, _, res_a, res_b = state
+    for res, docs in ((res_a, a),):
+        rows = res.ledger.orderBy("stage_order").collect()
+        assert [r["stage"] for r in rows] == list(INGEST_STAGES)
+        assert rows[0]["docs_in"] == docs.count()
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["docs_in"] - prev["docs_dropped"] == prev["docs_kept"]
+            assert cur["docs_in"] == prev["docs_kept"]
+        assert rows[-1]["docs_kept"] == res.kept.count()
+
+
+def test_first_batch_has_no_history_drops(state):
+    _, _, _, res_a, _ = state
+    counts = _stage_counts(res_a.ledger)
+    assert counts["history_exact"] == 0
+    assert counts["history_fuzzy"] == 0
+    assert res_a.kept.count() > 0
+    assert not res_a.replayed
+
+
+def test_history_dedup_drops_planted_reposts(spark, state):
+    root, _, _, res_a, res_b = state
+    counts = _stage_counts(res_b.ledger)
+    # Planted exact re-posts whose ORIGINAL survived batch A's funnel
+    # must fall at history_exact (unless an earlier within-batch stage
+    # caught them first — assert at the drop-set level instead).
+    a_hashes = {r["content_hash"] for r in res_a.kept.collect()}
+    stamped_hits = counts["history_exact"]
+    assert stamped_hits > 0, "no exact history drops despite planted re-posts"
+    assert counts["history_fuzzy"] > 0, "no fuzzy history drops despite edits"
+    # nothing committed in B may duplicate A's committed content
+    b_hashes = {r["content_hash"] for r in res_b.kept.collect()}
+    assert not (a_hashes & b_hashes)
+
+
+def test_committed_replay_is_noop(spark, state):
+    root, _, b, res_a, res_b = state
+    res = ingest_batch(spark, b, root, "2026-02", config=CFG)
+    assert res.replayed
+    assert res.n_new_zonemap_files == 0
+    assert _stage_counts(res.ledger) == _stage_counts(res_b.ledger)
+    assert res.kept.count() == res_b.kept.count()
+
+
+def test_torn_commit_replays_exactly(spark, sf_dir, tmp_path):
+    """Crash AFTER the index/seen deltas were written but BEFORE the
+    ledger marker: the replay must not see its own partial appends
+    (self-probe would drop every doc as its own duplicate)."""
+    import shutil
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "b1", config=CFG)
+    b = _make_batch_b(fresh_b, res_a.kept)
+    res_b = ingest_batch(spark, b, root, "b2", config=CFG)
+    want = _stage_counts(res_b.ledger)
+    want_kept = res_b.kept.count()
+
+    # simulate the torn commit: ledger marker gone, deltas still there
+    shutil.rmtree(f"{root}/ledger/batch=b2")
+    res_retry = ingest_batch(spark, b, root, "b2", config=CFG)
+    assert not res_retry.replayed
+    assert _stage_counts(res_retry.ledger) == want
+    assert res_retry.kept.count() == want_kept
+
+
+def test_zonemap_manifest_tracks_corpus_incrementally(spark, state):
+    root, _, _, res_a, res_b = state
+    from docling_jobkit_spark.operators.zonemap import (
+        _canon,
+        read_zonemap,
+        update_zonemap,
+    )
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    zm = read_zonemap(spark, f"{root}/zonemap")
+    on_disk = {_canon(p) for p, _ in _list_parquet_files(spark, f"{root}/corpus")}
+    in_manifest = {r["file"] for r in zm.select("file").distinct().collect()}
+    assert in_manifest == on_disk
+    # batch B's commit read footers ONLY for its own new files
+    assert 0 < res_b.n_new_zonemap_files < len(on_disk)
+    # steady state: reconciling again reads zero footers
+    _, n_new, n_drop = update_zonemap(spark, f"{root}/corpus", zm, ["n_chars"])
+    assert n_new == 0 and n_drop == 0
+
+
+def test_shards_roundtrip_matches_committed_corpus(spark, state):
+    root, _, _, res_a, _ = state
+    shards = spark.read.json(f"{root}/shards/batch=2026-01")
+    assert shards.count() == res_a.kept.count()
+    assert set(shards.columns) == {"text", "url", "content_hash"}
+    got = {r["content_hash"] for r in shards.select("content_hash").collect()}
+    want = {r["content_hash"] for r in res_a.kept.select("content_hash").collect()}
+    assert got == want
+
+
+def test_bad_batch_id_raises(spark, sf_dir, tmp_path):
+    a, _ = _batch_a(spark, sf_dir)
+    with pytest.raises(ValueError, match="batch_id"):
+        ingest_batch(spark, a, str(tmp_path), "b/../evil", config=CFG)
+
+
+def test_docs_from_extraction_shape(spark, pages_path):
+    from docling_jobkit_spark.operators.extract_op import extract_documents
+    from docling_jobkit_spark.plans.ingest import docs_from_extraction
+
+    pages = spark.read.parquet(pages_path).limit(50)
+    docs = docs_from_extraction(extract_documents(pages))
+    rows = docs.collect()
+    assert rows and set(docs.columns) == {"doc_id", "url", "text"}
+    assert all(r["doc_id"] is not None for r in rows)
+    # deterministic under re-evaluation
+    again = {r["doc_id"] for r in docs.collect()}
+    assert {r["doc_id"] for r in rows} == again
