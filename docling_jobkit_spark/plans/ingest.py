@@ -177,6 +177,19 @@ def _has_data_files(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def history_exact_hits(
+    hist_hashes: DataFrame, delta_hashes: DataFrame, broadcast_delta: bool = True
+) -> DataFrame:
+    """Delta rows whose content_hash is already committed. The history
+    side (years of hashes) streams MAP-SIDE against the broadcast
+    delta — the seen table, like the MinHash index, is never shuffled
+    (plan-pinned in tests/test_ingest.py). ``delta_hashes`` carries
+    (id, content_hash); the id column rides through."""
+    if broadcast_delta:
+        delta_hashes = F.broadcast(delta_hashes)
+    return hist_hashes.join(delta_hashes, on="content_hash").drop("content_hash")
+
+
 def _history_dirs(
     spark: SparkSession, family_root: str, current: str
 ) -> list[str]:
@@ -257,9 +270,9 @@ def ingest_batch(
             F.col(id_col),
             content_hash(F.col("redacted_text")).alias("content_hash"),
         )
-        if cfg.broadcast_delta:
-            delta_hashes = F.broadcast(delta_hashes)
-        flagged = hist_hashes.join(delta_hashes, on="content_hash").select(id_col)
+        flagged = history_exact_hits(
+            hist_hashes, delta_hashes, cfg.broadcast_delta
+        ).select(id_col)
         stamped = _drop_flagged(
             stamped, flagged, id_col, "history_exact", F.lit("seen_content_hash")
         )

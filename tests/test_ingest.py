@@ -185,3 +185,29 @@ def test_docs_from_extraction_shape(spark, pages_path):
     # deterministic under re-evaluation
     again = {r["doc_id"] for r in docs.collect()}
     assert {r["doc_id"] for r in rows} == again
+
+
+def test_seen_probe_broadcasts_delta_never_shuffles_history(spark, state):
+    """The steady-state history-exact plan: the committed seen table
+    streams map-side against the broadcast delta — no SortMergeJoin,
+    no exchange of the history side (the minhash_index probe
+    discipline applied to the hash table)."""
+    from docling_jobkit_spark.plans.ingest import SEEN_SCHEMA, history_exact_hits
+
+    root, _, _, _, _ = state
+    hist = (
+        spark.read.option("basePath", f"{root}/seen")
+        .schema(SEEN_SCHEMA)
+        .parquet(f"{root}/seen/batch=2026-01")
+    )
+    delta = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.sha2(F.col("id").cast("string"), 256).alias("content_hash")
+    )
+    hits = history_exact_hits(hist, delta, broadcast_delta=True)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tail = plan[plan.index("BroadcastHashJoin"):]
+    for line in tail.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
