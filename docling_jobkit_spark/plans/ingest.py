@@ -125,7 +125,7 @@ def docs_from_extraction(results: DataFrame) -> DataFrame:
     text and are dropped here — the extraction pipeline's own metrics
     account for them (metrics.job_summary); the ingest ledger accounts
     for curation/history attrition only. doc_id is a deterministic
-    60-bit hash of (url, content_hash): stable under any partitioning,
+    56-bit hash of (url, content_hash): stable under any partitioning,
     distinct for same-url re-crawls with different payloads (repo
     invariant: urls are NOT unique)."""
     ok = results.where(F.col("status") != "FAILURE")
@@ -330,8 +330,13 @@ def ingest_batch(
         max_shard_bytes=cfg.max_shard_bytes,
     )
 
+    # gate on the committer marker: a torn manifest overwrite (crash
+    # between delete and write) degrades to a full rebuild, never a
+    # failed read of a partial dir
     zm_prev = (
-        read_zonemap(spark, zonemap_dir) if _exists(spark, zonemap_dir) else None
+        read_zonemap(spark, zonemap_dir)
+        if _exists(spark, f"{zonemap_dir}/_SUCCESS")
+        else None
     )
     zm, n_new, _n_drop = update_zonemap(
         spark, corpus_root, zm_prev, list(cfg.zonemap_cols)
