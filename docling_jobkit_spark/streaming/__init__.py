@@ -7,6 +7,7 @@ from docling_jobkit_spark.streaming.pipeline import (  # noqa: F401
     stream_hourly_rollup,
     stream_logh_quantiles,
     stream_cms_counts,
+    stream_ingest,
     read_hll_state,
     read_logh_state,
     read_cms_state,

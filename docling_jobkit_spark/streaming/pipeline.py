@@ -483,3 +483,58 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no complete CMS state under {state_dir}")
     return spark.read.parquet(latest)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str = "doc_id bigint, url string, text string",
+    config=None,
+    benchmark: DataFrame | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the incremental ingest loop (plans/ingest.py):
+    documents arrive as parquet files and EVERY micro-batch runs the
+    full batch machinery inside ``foreachBatch`` — curation funnel,
+    history dedup against every previously committed micro-batch, and
+    the ordered corpus/seen/index/shards/zonemap/ledger commit — with
+    ``batch_id = mb-<zero-padded micro-batch id>``.
+
+    Exactly-once falls out of composing two at-least-once halves:
+    foreachBatch replays a micro-batch after a crash, and
+    ``ingest_batch`` replays are no-ops past the ledger commit marker
+    (and exact before it — probes never read the replayed batch's own
+    partial deltas). So the state directory converges to the same
+    bytes no matter how many times a batch is delivered; streaming ==
+    sequential-batch is pinned in tests/test_streaming.py.
+
+    A micro-batch IS a batch frame, so the materializing funnel path
+    (localCheckpoint before the probe joins) runs verbatim — the same
+    reason stream_dedup_fuzzy uses foreachBatch. Returns the started
+    StreamingQuery."""
+    from docling_jobkit_spark.plans.ingest import ingest_batch
+
+    reader = spark.readStream.schema(schema_ddl).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            f"mb-{batch_id:09d}",
+            benchmark=benchmark,
+            config=config,
+        )
+
+    writer = docs.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -211,3 +211,78 @@ def test_seen_probe_broadcasts_delta_never_shuffles_history(spark, state):
     for line in tail.splitlines():
         if "Exchange" in line:
             assert "BroadcastExchange" in line, line
+
+
+def test_stream_ingest_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """Streaming ingest (foreachBatch over the same ingest_batch) must
+    leave the state directory in the same logical state as sequential
+    batch-mode ingestion of the same snapshots in the same order:
+    identical per-batch ledgers and identical committed content-hash
+    sets. Micro-batch order is forced deterministic with one file per
+    trigger and strictly increasing mtimes. A re-drain from a fresh
+    checkpoint replays every micro-batch and must be a no-op (the
+    ledger commit markers make at-least-once exactly-once)."""
+    import os
+    import time
+
+    from docling_jobkit_spark.streaming import stream_ingest
+
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_tmp = ingest_batch(spark, a, str(tmp_path / "throwaway"), "t", config=CFG)
+    b = _make_batch_b(fresh_b, res_tmp.kept)
+
+    indir = tmp_path / "arrivals"
+    indir.mkdir()
+    a.coalesce(1).write.parquet(str(indir / "w1"))
+    time.sleep(1.1)  # FileStreamSource orders by mtime: w1 strictly first
+    b.coalesce(1).write.parquet(str(indir / "w2"))
+    t1 = time.time()
+    for sub, ts in (("w1", t1 - 10), ("w2", t1)):
+        for f in (indir / sub).iterdir():
+            os.utime(f, (ts, ts))
+
+    s_state = str(tmp_path / "s_state")
+    q = stream_ingest(
+        spark,
+        f"{indir}/*",
+        s_state,
+        str(tmp_path / "ck"),
+        config=CFG,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    b_state = str(tmp_path / "b_state")
+    res_a = ingest_batch(spark, a, b_state, "mb-000000000", config=CFG)
+    res_b = ingest_batch(spark, b, b_state, "mb-000000001", config=CFG)
+
+    for mb, res in (("mb-000000000", res_a), ("mb-000000001", res_b)):
+        s_ledger = spark.read.parquet(f"{s_state}/ledger/batch={mb}")
+        assert {tuple(r) for r in s_ledger.collect()} == {
+            tuple(r) for r in res.ledger.collect()
+        }, mb
+        s_kept = spark.read.parquet(f"{s_state}/corpus/batch={mb}")
+        assert {r["content_hash"] for r in s_kept.collect()} == {
+            r["content_hash"] for r in res.kept.collect()
+        }, mb
+
+    # re-drain with a FRESH checkpoint: every micro-batch replays and
+    # hits its commit marker — the state must not change
+    before = {
+        p: os.path.getmtime(f"{s_state}/ledger/{p}/_SUCCESS")
+        for p in os.listdir(f"{s_state}/ledger")
+    }
+    q2 = stream_ingest(
+        spark,
+        f"{indir}/*",
+        s_state,
+        str(tmp_path / "ck2"),
+        config=CFG,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    after = {
+        p: os.path.getmtime(f"{s_state}/ledger/{p}/_SUCCESS")
+        for p in os.listdir(f"{s_state}/ledger")
+    }
+    assert before == after
