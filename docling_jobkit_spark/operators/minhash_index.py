@@ -136,12 +136,20 @@ def write_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    banded: DataFrame | None = None,
 ) -> None:
     """Persist the banded signatures of ``df`` as the band-partitioned
-    parquet index, family digest stamped on the bucket+sig columns."""
-    _stamped(banded_signatures(df, text_col, id_col)).write.mode(
-        mode
-    ).partitionBy("band").parquet(path)
+    parquet index, family digest stamped on the bucket+sig columns.
+
+    ``banded`` lets a caller that has ALREADY signed these docs (the
+    ingest loop signs the delta once for the probe) write those rows
+    verbatim instead of re-running the signature fold — signing is the
+    dominant per-doc cost of the family. Must be this module's
+    ``banded_signatures`` shape for the SAME family (it is re-stamped
+    here, so a foreign frame would be mis-labeled: pass only frames
+    produced by this module in this process)."""
+    rows = banded if banded is not None else banded_signatures(df, text_col, id_col)
+    _stamped(rows).write.mode(mode).partitionBy("band").parquet(path)
 
 
 def update_minhash_index(
@@ -202,16 +210,21 @@ def near_dup_pairs_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_new: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, index_id, n_agree, est_jaccard) for every new doc ×
     indexed doc sharing an LSH band with signature agreement ≥
     ceil(tau·64) channels (integer compare — no float threshold
     ambiguity). ``broadcast_new=True`` is the steady-state plan: the
-    delta's bands broadcast, the index scan never shuffles."""
+    delta's bands broadcast, the index scan never shuffles.
+    ``new_banded`` (this module's ``banded_signatures`` output for
+    ``new_df``) skips re-signing when the caller already holds it."""
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     min_agree = int(math.ceil(N_HASHES * tau - 1e-9))
-    new_banded = banded_signatures(new_df, text_col, id_col).select(
+    if new_banded is None:
+        new_banded = banded_signatures(new_df, text_col, id_col)
+    new_banded = new_banded.select(
         F.col("band"),
         F.col("bucket"),
         F.col("id").alias("doc_id"),
@@ -246,12 +259,13 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_new: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-doc rollup against the persisted index: (doc_id,
     n_index_hits, max_est_jaccard, is_dup) — one row per new doc,
     clean docs included (the keep set is ``where not is_dup``)."""
     pairs = near_dup_pairs_against_index(
-        new_df, index, tau, text_col, id_col, broadcast_new
+        new_df, index, tau, text_col, id_col, broadcast_new, new_banded
     )
     per_doc = pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_index_hits"),

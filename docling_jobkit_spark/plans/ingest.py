@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 
 from docling_jobkit_spark.functions.scalar import content_hash, stable_hash64
 from docling_jobkit_spark.operators.minhash_index import (
+    banded_signatures,
     dedup_incremental,
     read_minhash_index,
     write_minhash_index,
@@ -278,6 +279,12 @@ def ingest_batch(
         )
 
     # -- history fuzzy: MinHash probe of committed index deltas -------
+    # The delta is signed ONCE (banded_signatures, localCheckpointed —
+    # repo invariant: signature intermediates are materialized): the
+    # probe consumes the bands here and the index-delta commit below
+    # reuses them via a semi-join on the committed ids — signing is the
+    # dominant per-doc cost of the family, never paid twice per batch.
+    surv_banded = None
     idx_dirs = _history_dirs(spark, index_root, batch_id)
     if idx_dirs:
         idx = read_minhash_index(spark, idx_dirs, base_path=index_root)
@@ -285,8 +292,13 @@ def ingest_batch(
             F.col(id_col).alias("doc_id"),
             F.col("redacted_text").alias("text"),
         )
+        surv_banded = banded_signatures(surv).localCheckpoint(eager=True)
         verdicts = dedup_incremental(
-            surv, idx, tau=cfg.tau, broadcast_new=cfg.broadcast_delta
+            surv,
+            idx,
+            tau=cfg.tau,
+            broadcast_new=cfg.broadcast_delta,
+            new_banded=surv_banded,
         )
         flagged = verdicts.where(F.col("is_dup")).select(
             F.col("doc_id").alias(id_col)
@@ -316,10 +328,21 @@ def ingest_batch(
     committed.select("content_hash").distinct().write.mode("overwrite").parquet(
         f"{seen_root}/batch={batch_id}"
     )
+    # reuse the probe's bands for the committed subset (identical by
+    # construction: committed text IS the redacted text that was
+    # signed); first batch has no probe, so it signs here
+    delta_banded = (
+        surv_banded.join(
+            committed.select(F.col("doc_id").alias("id")), on="id", how="left_semi"
+        )
+        if surv_banded is not None
+        else None
+    )
     write_minhash_index(
         committed.select("doc_id", "text"),
         f"{index_root}/batch={batch_id}",
         mode="overwrite",
+        banded=delta_banded,
     )
     write_training_shards(
         committed,

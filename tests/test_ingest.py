@@ -286,3 +286,31 @@ def test_stream_ingest_matches_sequential_batch(spark, sf_dir, tmp_path):
         for p in os.listdir(f"{s_state}/ledger")
     }
     assert before == after
+
+
+def test_reused_probe_bands_equal_fresh_signing(spark, state):
+    """Batch B's index delta is written from the probe's banded rows
+    (signed once, semi-joined to the committed ids) — it must be
+    BIT-EQUAL to signing the committed corpus from scratch, stamp
+    included (foreign stamps would make every future probe silently
+    miss)."""
+    from docling_jobkit_spark.operators.minhash_index import (
+        FAMILY_META_KEY,
+        banded_signatures,
+        minhash_family_digest,
+        read_minhash_index,
+    )
+
+    root, _, _, _, res_b = state
+    written = read_minhash_index(
+        spark, f"{root}/index/batch=2026-02"
+    ).select("band", "bucket", "id", "sig")
+    fresh = banded_signatures(res_b.kept.select("doc_id", "text"))
+    w = {(r["band"], r["bucket"], r["id"], tuple(r["sig"])) for r in written.collect()}
+    f = {(r["band"], r["bucket"], r["id"], tuple(r["sig"])) for r in fresh.collect()}
+    assert w == f and len(w) > 0
+    meta = {
+        fld.name: (fld.metadata or {}).get(FAMILY_META_KEY)
+        for fld in written.schema.fields
+    }
+    assert meta["bucket"] == meta["sig"] == minhash_family_digest()
