@@ -379,3 +379,121 @@ def ingest_batch(
         kept=committed,
         n_new_zonemap_files=n_new,
     )
+
+
+@dataclass(frozen=True)
+class CompactBatchStats:
+    batch_id: str
+    n_files_before: int
+    n_files_after: int
+    healed: bool  # True = a prior torn copy-back was recovered from tmp
+    skipped: str | None  # non-None = nothing to do (reason)
+
+
+def compact_ingest_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactBatchStats:
+    """In-place compaction of one committed batch's corpus dir — the
+    maintenance op a daily-snapshot corpus needs once hundreds of small
+    ``batch=`` dirs have accreted (sinks/maintenance.py economics,
+    applied to the ingest layout; the dir name must stay ``batch=<id>``
+    because replays read it directly).
+
+    Object-store-safe (no rename): two-phase copy through a tmp dir,
+    certified by the checkpoint content signature at every hop —
+    compaction must be a pure layout change.
+
+        1. compact src → ``corpus_compact/batch=<id>`` (tmp; OUTSIDE the
+           corpus root so the zone-map listing never sees it)
+        2. verify sig(tmp) == sig(src); mismatch RAISES, src untouched
+        3. compact tmp → src (overwrite; same scan-side packing confs)
+        4. verify sig(src) == sig; then reconcile the zone-map manifest
+           (stale rows drop, new files get footer-statted) and delete tmp
+
+    Crash recovery makes the op idempotent: on entry, a complete tmp
+    (its _SUCCESS present) whose signature matches a DAMAGED src —
+    a crash inside step 3's delete-then-write window — is re-applied
+    from tmp (``healed=True``); a complete tmp matching an INTACT src
+    resumes at step 3. Only committed batches compact (ledger marker
+    required) — compacting an in-flight batch would race its writer.
+
+    Same-session caveat: DataFrames created over this batch dir BEFORE
+    compaction (e.g. an earlier ``IngestResult.kept``) hold the
+    pre-rewrite file listing and will fail with FileNotFound if
+    re-executed — re-read the path after compacting (plain Spark
+    overwrite semantics, same as any path rewrite)."""
+    from docling_jobkit_spark.sinks.maintenance import (
+        _list_parquet_files,
+        compact_files,
+        content_signature,
+    )
+
+    if not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match {_BATCH_ID_RE.pattern}, got {batch_id!r}"
+        )
+    root = state_dir.rstrip("/")
+    src = f"{root}/corpus/batch={batch_id}"
+    tmp = f"{root}/corpus_compact/batch={batch_id}"
+    if not _exists(spark, f"{root}/ledger/batch={batch_id}/_SUCCESS"):
+        raise ValueError(f"batch {batch_id!r} is not committed; refusing to compact")
+
+    def _sig(path: str):
+        df = spark.read.schema(CORPUS_SCHEMA).parquet(path)
+        return content_signature(df, key_col="content_hash")
+
+    n_src_files = (
+        len(_list_parquet_files(spark, src)) if _exists(spark, src) else 0
+    )
+    tmp_complete = _exists(spark, f"{tmp}/_SUCCESS")
+    healed = False
+
+    if n_src_files == 0 and not tmp_complete:
+        return CompactBatchStats(batch_id, 0, 0, False, "empty batch dir")
+    if n_src_files <= 1 and not tmp_complete:
+        return CompactBatchStats(
+            batch_id, n_src_files, n_src_files, False, "already one file"
+        )
+
+    if tmp_complete:
+        # resume/heal: tmp is the certified copy from a prior attempt.
+        # A fully torn step-3 window can leave src absent/empty — never
+        # read it before re-applying from tmp.
+        want = _sig(tmp)
+        healed = n_src_files == 0 or _sig(src) != want
+        stats = compact_files(spark, tmp, src, target_file_bytes)
+        if _sig(src) != want:
+            raise RuntimeError(
+                f"compaction signature mismatch after heal of {src}"
+            )
+    else:
+        want = _sig(src)
+        compact_files(spark, src, tmp, target_file_bytes)
+        if _sig(tmp) != want:
+            raise RuntimeError(
+                f"compaction signature mismatch writing {tmp}; source untouched"
+            )
+        stats = compact_files(spark, tmp, src, target_file_bytes)
+        if _sig(src) != want:
+            raise RuntimeError(
+                f"compaction signature mismatch after copy-back to {src}; "
+                f"recover by re-running (tmp at {tmp} is complete and certified)"
+            )
+
+    # manifest reconciliation: stale file rows drop, new files statted
+    zonemap_dir = f"{root}/zonemap"
+    if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
+        zm, _n_new, _n_drop = update_zonemap(
+            spark, f"{root}/corpus", read_zonemap(spark, zonemap_dir),
+            ["n_chars"],
+        )
+        write_zonemap(zm.localCheckpoint(eager=True), zonemap_dir)
+
+    fs, jtmp = _fs(spark, tmp)
+    fs.delete(jtmp, True)
+    return CompactBatchStats(
+        batch_id, n_src_files, stats.n_files_after, healed, None
+    )

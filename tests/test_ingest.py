@@ -314,3 +314,93 @@ def test_reused_probe_bands_equal_fresh_signing(spark, state):
         for fld in written.schema.fields
     }
     assert meta["bucket"] == meta["sig"] == minhash_family_digest()
+
+
+def _fragment(spark, src, n=8):
+    """Rewrite a committed batch dir into n files (simulates the
+    accretion compaction exists to fix; AQE coalesces the small test
+    funnel to one file otherwise)."""
+    df = spark.read.parquet(src).localCheckpoint(eager=True)
+    df.repartition(n).write.mode("overwrite").parquet(src)
+
+
+def test_compact_ingest_batch_preserves_content_and_manifest(spark, sf_dir, tmp_path):
+    import os
+
+    from docling_jobkit_spark.operators.zonemap import _canon, read_zonemap
+    from docling_jobkit_spark.plans.ingest import (
+        CompactBatchStats,
+        compact_ingest_batch,
+    )
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    root = str(tmp_path / "state")
+    a, _ = _batch_a(spark, sf_dir)
+    res = ingest_batch(spark, a, root, "c1", config=CFG)
+    want = {
+        (r["doc_id"], r["content_hash"]) for r in res.kept.collect()
+    }
+    src = f"{root}/corpus/batch=c1"
+    _fragment(spark, src)
+    n_before = len(_list_parquet_files(spark, src))
+    assert n_before > 1, "fixture failed to fragment the batch dir"
+
+    stats = compact_ingest_batch(spark, root, "c1")
+    assert isinstance(stats, CompactBatchStats)
+    assert stats.n_files_before == n_before
+    assert stats.n_files_after < n_before and not stats.healed
+    got = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(src).collect()
+    }
+    assert got == want
+    # manifest reconciled to the rewritten files, tmp gone
+    zm = read_zonemap(spark, f"{root}/zonemap")
+    on_disk = {_canon(p) for p, _ in _list_parquet_files(spark, f"{root}/corpus")}
+    assert {r["file"] for r in zm.select("file").distinct().collect()} == on_disk
+    assert not os.path.exists(f"{root}/corpus_compact/batch=c1")
+
+    # idempotent: second call is a clean skip (already one file) or a
+    # no-op rewrite with the same signature — never an error
+    stats2 = compact_ingest_batch(spark, root, "c1")
+    got2 = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(src).collect()
+    }
+    assert got2 == want
+
+
+def test_compact_ingest_batch_heals_torn_copy_back(spark, sf_dir, tmp_path):
+    """Crash inside the copy-back's delete-then-write window: src is
+    gone but the certified tmp survives — the next call must restore
+    src from tmp bit-for-bit and report healed."""
+    import shutil
+
+    from docling_jobkit_spark.plans.ingest import compact_ingest_batch
+    from docling_jobkit_spark.sinks.maintenance import compact_files
+
+    root = str(tmp_path / "state")
+    a, _ = _batch_a(spark, sf_dir)
+    res = ingest_batch(spark, a, root, "c1", config=CFG)
+    want = {(r["doc_id"], r["content_hash"]) for r in res.kept.collect()}
+    src = f"{root}/corpus/batch=c1"
+    tmp = f"{root}/corpus_compact/batch=c1"
+    _fragment(spark, src)
+
+    compact_files(spark, src, tmp)  # step 1 done, tmp certified
+    shutil.rmtree(src)  # torn step 3: src destroyed mid-overwrite
+
+    stats = compact_ingest_batch(spark, root, "c1")
+    assert stats.healed
+    got = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(src).collect()
+    }
+    assert got == want
+
+
+def test_compact_ingest_batch_refuses_uncommitted(spark, sf_dir, tmp_path):
+    from docling_jobkit_spark.plans.ingest import compact_ingest_batch
+
+    with pytest.raises(ValueError, match="not committed"):
+        compact_ingest_batch(spark, str(tmp_path / "nostate"), "nope")
