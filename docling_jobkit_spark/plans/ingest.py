@@ -497,3 +497,66 @@ def compact_ingest_batch(
     return CompactBatchStats(
         batch_id, n_src_files, stats.n_files_after, healed, None
     )
+
+
+def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """One row per COMMITTED batch — the Iceberg ``snapshots``/``files``
+    analog for the ingest layout, feeding retention and compaction
+    decisions: (batch_id, docs_in, docs_kept, n_files, bytes,
+    mean_file_bytes, fragmented). Metadata-only: driver-side listings
+    (the cost every commit already pays) plus each batch's 10-row
+    ledger; corpus data files are never opened. ``fragmented`` flags
+    batches whose mean data file is under 8 MB — the
+    ``compact_ingest_batch`` work list."""
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    root = state_dir.rstrip("/")
+    batches = _committed_batch_dirs(spark, f"{root}/ledger")
+    rows = []
+    for bid in sorted(batches):
+        led = spark.read.parquet(f"{root}/ledger/batch={bid}").orderBy(
+            "stage_order"
+        ).collect()
+        corpus_dir = f"{root}/corpus/batch={bid}"
+        files = (
+            _list_parquet_files(spark, corpus_dir)
+            if _exists(spark, corpus_dir)
+            else []
+        )
+        n_bytes = sum(b for _, b in files)
+        rows.append(
+            (
+                bid,
+                int(led[0]["docs_in"]),
+                int(led[-1]["docs_kept"]),
+                len(files),
+                n_bytes,
+                int(n_bytes / len(files)) if files else 0,
+            )
+        )
+    # bounded dim via range(1)+explode — repo invariant: NEVER
+    # createDataFrame(list) (the Python-RDD path forks a worker per
+    # default-parallelism partition even for two rows)
+    cols = ("batch_id", "docs_in", "docs_kept", "n_files", "bytes", "mean_file_bytes")
+    if not rows:
+        rep = spark.range(0).select(
+            F.lit("").alias("batch_id"),
+            *[F.lit(0).cast("long").alias(c) for c in cols[1:]],
+        )
+    else:
+        rep = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            *[F.lit(v).alias(c) for c, v in zip(cols, row)]
+                        )
+                        for row in rows
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+    return rep.withColumn(
+        "fragmented",
+        (F.col("n_files") > 1) & (F.col("mean_file_bytes") < F.lit(8 * 1024 * 1024)),
+    ).orderBy("batch_id")

@@ -404,3 +404,21 @@ def test_compact_ingest_batch_refuses_uncommitted(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not committed"):
         compact_ingest_batch(spark, str(tmp_path / "nostate"), "nope")
+
+
+def test_ingest_state_report(spark, state):
+    from docling_jobkit_spark.plans.ingest import ingest_state_report
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    root, a, _, res_a, res_b = state
+    rep = {r["batch_id"]: r for r in ingest_state_report(spark, root).collect()}
+    assert set(rep) == {"2026-01", "2026-02"}
+    r1 = rep["2026-01"]
+    assert r1["docs_in"] == a.count()
+    assert r1["docs_kept"] == res_a.kept.count()
+    files = _list_parquet_files(spark, f"{root}/corpus/batch=2026-01")
+    assert r1["n_files"] == len(files)
+    assert r1["bytes"] == sum(b for _, b in files)
+    # empty state dir: empty, correctly-typed report
+    empty = ingest_state_report(spark, f"{root}/does_not_exist")
+    assert empty.count() == 0 and "fragmented" in empty.columns
