@@ -165,3 +165,22 @@ def test_semdedup_summary_consistent(emb, centroids):
     for r in s:
         assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
         assert r["n_kept"] >= 1  # rank-1 of a non-empty cell always survives
+
+
+def test_semdedup_salt_invariant(emb, centroids):
+    """The skew-salting fan-out (n_salts) is a pure parallelism knob:
+    every (l, r) pair matches exactly once regardless of salt count, so
+    the verdicts are value-identical for n_salts=1 (salting disabled)
+    and the default fan-out."""
+    base = {
+        r["vec_id"]: (r["ivf_cell"], r["sem_rank"], r["max_prior_sim"], r["keep"])
+        for r in semantic_duplicates(emb, centroids, tau=0.8, n_salts=1).collect()
+    }
+    salted = {
+        r["vec_id"]: (r["ivf_cell"], r["sem_rank"], r["max_prior_sim"], r["keep"])
+        for r in semantic_duplicates(emb, centroids, tau=0.8, n_salts=8).collect()
+    }
+    assert base == salted
+
+    with pytest.raises(ValueError, match="n_salts"):
+        semantic_duplicates(emb, centroids, n_salts=0)
