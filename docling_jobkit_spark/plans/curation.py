@@ -57,6 +57,7 @@ from docling_jobkit_spark.operators.decontam import contamination
 from docling_jobkit_spark.operators.dedup import (
     minhash_near_duplicates,
     near_dup_clusters,
+    spread_for_compute,
 )
 from docling_jobkit_spark.operators.pii import pii_signals
 from docling_jobkit_spark.operators.textstats import gopher_filter, lang_id
@@ -135,6 +136,14 @@ def curate_corpus(
     drops nothing. Returns stamps + survivors + the attrition ledger."""
     cfg = config or CurationConfig()
 
+    # Every stage below is per-doc interpreted compute (lang-ID n-grams,
+    # Gopher repetition fractions, PII regexes, minhash signing) fed by
+    # this one scan — a small input's 2-3 file splits would serialize
+    # the WHOLE funnel on 2-3 tasks (measured: stages 1-3 alone cost
+    # 8.9 s at 3 tasks vs ~1.5 s spread at sf0.1). No-op at corpus
+    # scale where the scan already has >= shuffle-partitions splits.
+    docs = spread_for_compute(docs)
+
     # -- 1-3: stateless gates (verdicts computed for every doc; the
     # first-fail precedence turns them into the funnel order) ---------
     s = url_filter(
@@ -183,6 +192,14 @@ def curate_corpus(
         F.col("_rk") > 1
     )
     s = _drop_flagged(s, dups, id_col, "url_dedup", F.lit("url_duplicate"))
+
+    # Truncate the stage-1-5 lineage before the fan-out: the stamped
+    # frame from here feeds THREE downstream executions (the fuzzy
+    # stage's signature materialization, decontamination's k-gram
+    # materialization, and the final checkpoint) — without this each of
+    # them re-runs the url/lang/gopher/dedup chain from the scan.
+    if materialize:
+        s = s.localCheckpoint(eager=True)
 
     # -- 6: fuzzy dedup among survivors (clusters, keep canonical) ----
     surv = s.where(F.col("drop_stage").isNull())
