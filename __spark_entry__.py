@@ -1822,6 +1822,47 @@ def _q_incremental_ingest(spark, sf_dir):
     )
 
 
+def _q_ingest_state_report(spark, sf_dir):
+    """Table-maintenance view of the ingest layout (plans/ingest.py::
+    ingest_state_report): after a bounded single-batch ingest commit,
+    one metadata-only row per COMMITTED batch — docs_in/docs_kept from
+    the attrition ledger, file count / bytes / mean file size from the
+    driver-side listing every commit already pays (corpus data files
+    are never opened), plus the ``fragmented`` flag that feeds
+    ``compact_ingest_batch``'s work list. The batch is then compacted
+    in place and the report re-read, so the entry also pins compaction
+    visibility end-to-end (n_files drops, bytes stay plausible, the
+    batch stays committed). Rows-only (file-layout state; the oracle
+    window is full); multi-batch report arithmetic, compaction healing,
+    and the empty-state schema are pinned in tests/test_ingest.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        compact_ingest_batch,
+        ingest_batch,
+        ingest_state_report,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 16 == 1)  # bounded single-batch commit
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+        .select("doc_id", "url", "text")
+    )
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_state_report_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    ingest_batch(spark, base, state, "2026-01", config=IngestConfig())
+    compact_ingest_batch(spark, state, "2026-01")
+    return ingest_state_report(spark, state)
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2236,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": _q_stats_pruned_scan,
         "normalize_text": _q_normalize_text,
         "incremental_ingest": _q_incremental_ingest,
+        "ingest_state_report": _q_ingest_state_report,
     }
 
 

@@ -119,6 +119,7 @@ EXTRA_TIMED_QUERIES = [
     "stats_pruned_scan",
     "normalize_text",
     "incremental_ingest",
+    "ingest_state_report",
 ]
 
 
