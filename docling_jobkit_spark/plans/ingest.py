@@ -169,6 +169,16 @@ def _committed_batch_dirs(spark: SparkSession, family_root: str) -> dict[str, st
     return out
 
 
+def _empty_corpus(spark: SparkSession) -> DataFrame:
+    """Empty frame with the CORPUS_SCHEMA — via range(0), never
+    createDataFrame(list) (repo invariant: the Python-RDD path forks a
+    worker per default-parallelism partition even for zero rows)."""
+    pairs = [p.strip().rsplit(" ", 1) for p in CORPUS_SCHEMA.split(",")]
+    return spark.range(0).select(
+        *[F.lit(None).cast(t).alias(c) for c, t in pairs]
+    )
+
+
 def _has_data_files(spark: SparkSession, path: str) -> bool:
     fs, jpath = _fs(spark, path)
     for st in fs.listStatus(jpath):
@@ -234,12 +244,19 @@ def ingest_batch(
     ledger_dir = f"{ledger_root}/batch={batch_id}"
 
     # -- replay guard: the ledger marker IS the commit record ---------
+    # An EXPIRED batch (payload reclaimed by expire_batch_payload) has
+    # the marker but no corpus dir: still a committed no-op replay —
+    # its dedup memory (seen/index) is intact; kept is empty.
     if _exists(spark, f"{ledger_dir}/_SUCCESS"):
         return IngestResult(
             batch_id=batch_id,
             replayed=True,
             ledger=spark.read.parquet(ledger_dir),
-            kept=spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir),
+            kept=(
+                spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+                if _exists(spark, corpus_dir)
+                else _empty_corpus(spark)
+            ),
             n_new_zonemap_files=0,
         )
 
@@ -499,15 +516,82 @@ def compact_ingest_batch(
     )
 
 
+@dataclass(frozen=True)
+class ExpireBatchStats:
+    batch_id: str
+    n_files_deleted: int
+    bytes_reclaimed: int
+    already_expired: bool  # True = payload was gone on entry (no-op)
+
+
+def expire_batch_payload(
+    spark: SparkSession, state_dir: str, batch_id: str
+) -> ExpireBatchStats:
+    """Storage reclaim for an old committed batch — the Iceberg
+    ``expire_snapshots`` analog for the ingest layout, WITHOUT
+    forgetting what was ingested: deletes the batch's corpus parquet
+    dir and JSONL shards but KEEPS its ledger (the commit marker), its
+    seen-hash delta, and its MinHash index delta, so history dedup for
+    every future batch is bit-unchanged (the probes read seen/index
+    only, never corpus payload). Replays of the expired batch itself
+    still no-op (marker intact) and return an empty ``kept``.
+
+    Torn-safety ordering — the zone-map manifest stops referencing the
+    files BEFORE any file is deleted (``scan_pruned`` reads survivors
+    by explicit manifest path; the reverse order would leave a window
+    where a pruned scan references deleted files):
+
+        1. rewrite zonemap without this batch's file rows
+        2. delete ``corpus/batch=<id>`` (recursive)
+        3. delete ``shards/batch=<id>``
+
+    A crash between any two steps replays exactly: step 1 is a no-op
+    once the rows are gone, deletes are idempotent. Uncommitted batches
+    refuse (expiring an in-flight batch would race its writer)."""
+    if not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match {_BATCH_ID_RE.pattern}, got {batch_id!r}"
+        )
+    root = state_dir.rstrip("/")
+    if not _exists(spark, f"{root}/ledger/batch={batch_id}/_SUCCESS"):
+        raise ValueError(f"batch {batch_id!r} is not committed; refusing to expire")
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    corpus_dir = f"{root}/corpus/batch={batch_id}"
+    shards_dir = f"{root}/shards/batch={batch_id}"
+
+    # 1. manifest first: drop this batch's file rows (metadata-sized)
+    zonemap_dir = f"{root}/zonemap"
+    if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
+        zm = read_zonemap(spark, zonemap_dir)
+        keep = zm.where(~F.col("file").contains(f"/batch={batch_id}/"))
+        if keep.count() < zm.count():
+            write_zonemap(keep.localCheckpoint(eager=True), zonemap_dir)
+
+    # 2-3. delete payload dirs (idempotent; sizes counted before)
+    already = not _exists(spark, corpus_dir)
+    n_files = len(_list_parquet_files(spark, corpus_dir)) if not already else 0
+    n_bytes = 0
+    for path in (corpus_dir, shards_dir):
+        if _exists(spark, path):
+            fs, jpath = _fs(spark, path)
+            n_bytes += int(fs.getContentSummary(jpath).getLength())
+            fs.delete(jpath, True)
+    return ExpireBatchStats(batch_id, n_files, n_bytes, already)
+
+
 def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     """One row per COMMITTED batch — the Iceberg ``snapshots``/``files``
     analog for the ingest layout, feeding retention and compaction
     decisions: (batch_id, docs_in, docs_kept, n_files, bytes,
-    mean_file_bytes, fragmented). Metadata-only: driver-side listings
-    (the cost every commit already pays) plus each batch's 10-row
-    ledger; corpus data files are never opened. ``fragmented`` flags
-    batches whose mean data file is under 8 MB — the
-    ``compact_ingest_batch`` work list."""
+    mean_file_bytes, fragmented, payload_expired). Metadata-only:
+    driver-side listings (the cost every commit already pays) plus each
+    batch's 10-row ledger; corpus data files are never opened.
+    ``fragmented`` flags batches whose mean data file is under 8 MB —
+    the ``compact_ingest_batch`` work list. ``payload_expired`` marks
+    batches whose corpus dir was reclaimed by ``expire_batch_payload``
+    (dir ABSENT — distinct from an all-dropped batch's marker-only
+    empty dir, which reports 0 files but is not expired)."""
     from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
 
     root = state_dir.rstrip("/")
@@ -518,11 +602,8 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
             "stage_order"
         ).collect()
         corpus_dir = f"{root}/corpus/batch={bid}"
-        files = (
-            _list_parquet_files(spark, corpus_dir)
-            if _exists(spark, corpus_dir)
-            else []
-        )
+        expired = not _exists(spark, corpus_dir)
+        files = [] if expired else _list_parquet_files(spark, corpus_dir)
         n_bytes = sum(b for _, b in files)
         rows.append(
             (
@@ -532,16 +613,26 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
                 len(files),
                 n_bytes,
                 int(n_bytes / len(files)) if files else 0,
+                expired,
             )
         )
     # bounded dim via range(1)+explode — repo invariant: NEVER
     # createDataFrame(list) (the Python-RDD path forks a worker per
     # default-parallelism partition even for two rows)
-    cols = ("batch_id", "docs_in", "docs_kept", "n_files", "bytes", "mean_file_bytes")
+    cols = (
+        "batch_id",
+        "docs_in",
+        "docs_kept",
+        "n_files",
+        "bytes",
+        "mean_file_bytes",
+        "payload_expired",
+    )
     if not rows:
         rep = spark.range(0).select(
             F.lit("").alias("batch_id"),
-            *[F.lit(0).cast("long").alias(c) for c in cols[1:]],
+            *[F.lit(0).cast("long").alias(c) for c in cols[1:-1]],
+            F.lit(False).alias("payload_expired"),
         )
     else:
         rep = spark.range(1).select(

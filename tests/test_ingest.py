@@ -422,3 +422,59 @@ def test_ingest_state_report(spark, state):
     # empty state dir: empty, correctly-typed report
     empty = ingest_state_report(spark, f"{root}/does_not_exist")
     assert empty.count() == 0 and "fragmented" in empty.columns
+
+
+def test_expire_batch_payload(spark, sf_dir, tmp_path):
+    """Storage reclaim must never forget: after expiring batch A's
+    payload, history dedup for batch B is unchanged (seen/index deltas
+    survive), replays of A no-op with empty kept, the zone map never
+    references deleted files, and the state report flags the batch."""
+    from docling_jobkit_spark.operators.zonemap import read_zonemap
+    from docling_jobkit_spark.plans.ingest import (
+        _exists,
+        expire_batch_payload,
+        ingest_state_report,
+    )
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "2026-01", config=CFG)
+    # materialize B BEFORE expiry: its lineage reads A's corpus files
+    b = _make_batch_b(fresh_b, res_a.kept).localCheckpoint(eager=True)
+
+    stats = expire_batch_payload(spark, root, "2026-01")
+    assert stats.n_files_deleted >= 1
+    assert stats.bytes_reclaimed > 0
+    assert not stats.already_expired
+    assert not _exists(spark, f"{root}/corpus/batch=2026-01")
+    assert not _exists(spark, f"{root}/shards/batch=2026-01")
+    # dedup memory + commit marker survive
+    for family in ("ledger", "seen", "index"):
+        assert _exists(spark, f"{root}/{family}/batch=2026-01/_SUCCESS")
+
+    # history dedup vs the EXPIRED batch still works bit-for-bit
+    res_b = ingest_batch(spark, b, root, "2026-02", config=CFG)
+    counts = _stage_counts(res_b.ledger)
+    assert counts["history_exact"] > 0
+    assert counts["history_fuzzy"] > 0
+
+    # the reconciled zone map references only live files
+    zm_files = [r["file"] for r in read_zonemap(spark, f"{root}/zonemap").collect()]
+    assert zm_files and all("/batch=2026-01/" not in f for f in zm_files)
+
+    # replay of the expired batch: committed no-op, empty kept
+    res_rep = ingest_batch(spark, a, root, "2026-01", config=CFG)
+    assert res_rep.replayed and res_rep.kept.count() == 0
+
+    # idempotent second expire
+    stats2 = expire_batch_payload(spark, root, "2026-01")
+    assert stats2.already_expired and stats2.n_files_deleted == 0
+
+    # state report: expired flagged, live batch untouched
+    rep = {r["batch_id"]: r for r in ingest_state_report(spark, root).collect()}
+    assert rep["2026-01"]["payload_expired"] and rep["2026-01"]["n_files"] == 0
+    assert rep["2026-01"]["docs_kept"] > 0  # the ledger still remembers
+    assert not rep["2026-02"]["payload_expired"]
+
+    with pytest.raises(ValueError, match="not committed"):
+        expire_batch_payload(spark, root, "nope")
