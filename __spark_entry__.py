@@ -1863,6 +1863,43 @@ def _q_ingest_state_report(spark, sf_dir):
     return ingest_state_report(spark, state)
 
 
+def _q_ivf_index_maintenance(spark, sf_dir):
+    """Persisted IVF vector index + incremental maintenance
+    (operators/ivf_index.py, the vector twin of the MinHash index's
+    rolling posture): the even-id half of the embeddings table is
+    written as the partitionBy(ivf_cell) layout, the odd half is
+    APPENDED (codebook stamp enforced — appending a retrained
+    codebook's assignments raises before any file lands), and the
+    maintenance report is returned: per-cell footer-only counts,
+    corpus share, hot-cell flag, and mean/min centroid similarity (the
+    drift signal a recluster decision reads). Rows-only (file-layout
+    state + trained codebook; the oracle window is full);
+    append==rebuild, probe==in-memory-presigned, stamp refusal, and
+    pruning-survives-append are pinned in tests/test_ivf_index.py.
+    Output dir is per-process so concurrent runs never race."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.operators.ivf_index import (
+        append_ivf_index,
+        ivf_index_report,
+        write_ivf_index,
+    )
+    from docling_jobkit_spark.operators.similarity import kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(emb, k=8, n_iter=4, sample_n=512)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_ivf_idx_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, cents)
+    append_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 1), path, cents)
+    return ivf_index_report(spark, path, centroids=cents)
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2278,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "incremental_ingest": _q_incremental_ingest,
         "ingest_state_report": _q_ingest_state_report,
+        "ivf_index_maintenance": _q_ivf_index_maintenance,
     }
 
 

@@ -120,6 +120,7 @@ EXTRA_TIMED_QUERIES = [
     "normalize_text",
     "incremental_ingest",
     "ingest_state_report",
+    "ivf_index_maintenance",
 ]
 
 

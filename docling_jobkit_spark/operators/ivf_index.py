@@ -1,0 +1,202 @@
+"""Persisted IVF vector index + incremental cross-snapshot maintenance.
+
+The at-scale ANN posture for a ROLLING embedding corpus (monthly crawl
+snapshots, incremental ingestion) — the vector twin of
+``operators/minhash_index.py``: the accumulated history's cell
+assignments are computed ONCE and persisted ``partitionBy("ivf_cell")``;
+each new snapshot is assigned once and APPENDED into the same layout,
+so at snapshot N a probe costs O(|probed cells|) IO plus O(|new|)
+assignment work — never an O(|1..N|) re-assignment of history.
+
+Reference parity: docling-jobkit has no vector index, but its
+task-result caching (reference docling_jobkit/connectors keyed result
+stores) embodies the same never-recompute-history posture; this module
+is that idea applied to the IVF layout (Sivic & Zisserman 2003 inverted
+file; the partition-pruned search of similarity.ivf_topk_presigned).
+
+Design (Spark-first):
+
+- The index IS a directory of cell partitions: ``with_ivf_cells``
+  stamps the codebook identity (size + sha of the rounded coordinate
+  grid) into the VECTOR column's metadata — the cell column is the
+  partition column and drops metadata on read-back (lesson recorded on
+  the IVF layout) — and ``partitionBy("ivf_cell")`` makes every probe
+  a file-listing-level pruned scan.
+- **Appends enforce the stamp**: appending vectors assigned with a
+  RETRAINED codebook would silently corrupt every probe — "cells"
+  holding vectors from two different geometries return
+  plausible-but-wrong neighbors and nothing ever errors. A mismatched
+  (or missing) stamp RAISES before any file is written.
+- **Reads refuse unstamped layouts** (the ``read_minhash_index``
+  discipline): a foreign parquet dir that happens to have an
+  ``ivf_cell`` column is not an index of known provenance.
+- ``ivf_index_report`` is the maintenance view (the ingest
+  ``state report`` pattern): per-cell row counts from parquet FOOTER
+  metadata only (a count aggregate never reads vector data), balance
+  share, and a hot-cell flag — the recluster/split work list. With the
+  codebook passed it adds per-cell mean/min centroid similarity, the
+  drift signal that says the codebook no longer fits the data.
+
+Probe path: ``read_ivf_index`` → ``similarity.ivf_topk_presigned``
+(unchanged — the stamp verification there is what this module's writes
+keep true across appends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docling_jobkit_spark.operators.similarity import (
+    codebook_id,
+    cosine_col,
+    with_ivf_cells,
+)
+
+_META_KEYS = ("ivf_k", "ivf_codebook")
+
+
+def _stored_stamp(spark: SparkSession, path: str, vec_col: str) -> dict:
+    """Codebook stamp of an existing layout, read from the schema only
+    (one footer; no data). Raises if the layout is missing the vector
+    column or carries no stamp."""
+    existing = spark.read.parquet(path)
+    fields = {f.name: f for f in existing.schema.fields}
+    if vec_col not in fields or "ivf_cell" not in fields:
+        raise ValueError(
+            f"not an IVF index (missing '{vec_col}'/'ivf_cell'): {path}"
+        )
+    meta = fields[vec_col].metadata or {}
+    stamp = {k: meta.get(k) for k in _META_KEYS if meta.get(k) is not None}
+    if "ivf_codebook" not in stamp:
+        raise ValueError(
+            f"IVF layout at {path} carries no codebook stamp; refusing to "
+            "serve vectors of unknown assignment provenance"
+        )
+    return stamp
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize assignments once and persist the partitioned layout
+    (mode=overwrite — the initial build / full rebuild)."""
+    assigned = with_ivf_cells(df.select(id_col, vec_col), centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental maintenance: assign ONLY the new snapshot's vectors
+    and append them into the existing layout. Raises unless the
+    existing layout's stamped codebook identity equals
+    ``codebook_id(centroids)`` — same size, same coordinates."""
+    stored = _stored_stamp(spark, path, vec_col)
+    current = codebook_id(centroids)
+    if stored["ivf_codebook"] != current:
+        raise ValueError(
+            f"IVF codebook mismatch: index={stored['ivf_codebook']} "
+            f"current={current} — an append would mix two assignment "
+            "geometries in the same cells; rebuild with write_ivf_index"
+        )
+    assigned = with_ivf_cells(df.select(id_col, vec_col), centroids, vec_col)
+    assigned.write.mode("append").partitionBy("ivf_cell").parquet(path)
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the layout back for probing (``ivf_topk_presigned`` consumes
+    this directly), refusing unstamped layouts."""
+    _stored_stamp(spark, path, _detect_vec_col(spark, path))
+    return spark.read.parquet(path)
+
+
+def _detect_vec_col(spark: SparkSession, path: str) -> str:
+    """The vector column is the single array<float/double> field."""
+    sch = spark.read.parquet(path).schema
+    arrays = [
+        f.name for f in sch.fields if f.dataType.typeName() == "array"
+    ]
+    if len(arrays) != 1:
+        raise ValueError(
+            f"cannot identify the vector column at {path}: "
+            f"array columns {arrays}"
+        )
+    return arrays[0]
+
+
+def ivf_index_report(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    hot_factor: float = 4.0,
+) -> DataFrame:
+    """Per-cell maintenance view: (ivf_cell, n_vectors, share, hot) —
+    counts come from parquet footer row counts (count aggregates never
+    read vector data), share = cell fraction of the corpus, hot flags
+    cells above ``hot_factor``× the uniform share (the split/recluster
+    work list — one hot cell is where every probe's latency goes).
+
+    With ``centroids`` (verified against the stamp) it adds
+    mean_centroid_sim / min_centroid_sim per cell — falling mean
+    similarity across appends is the drift signal that the codebook no
+    longer fits the data and a rebuild is due."""
+    vec_col = _detect_vec_col(spark, path)
+    stamp = _stored_stamp(spark, path, vec_col)
+    idx = spark.read.parquet(path)
+    k = int(stamp.get("ivf_k") or 0)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vectors")]
+    if centroids is not None:
+        current = codebook_id(centroids)
+        if stamp["ivf_codebook"] != current:
+            raise ValueError(
+                f"IVF codebook mismatch: index={stamp['ivf_codebook']} "
+                f"current={current} — similarity against foreign centroids "
+                "is not the stored assignment's geometry"
+            )
+        sim_arr = F.array(
+            *[
+                F.round(
+                    cosine_col(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ),
+                    6,
+                )
+                for c in centroids
+            ]
+        )
+        own = F.when(
+            F.col("ivf_cell") >= 0, F.element_at(sim_arr, F.col("ivf_cell") + 1)
+        )
+        idx = idx.withColumn("_own_sim", own)
+        aggs += [
+            F.round(F.avg("_own_sim"), 6).alias("mean_centroid_sim"),
+            F.round(F.min("_own_sim"), 6).alias("min_centroid_sim"),
+        ]
+
+    per_cell = idx.groupBy("ivf_cell").agg(*aggs)
+    # the window runs over the ≤k+1 per-cell rows, never the corpus
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    uniform = 1.0 / max(k, 1)
+    return (
+        per_cell.withColumn(
+            "share", F.round(F.col("n_vectors") / total, 6)
+        )
+        .withColumn(
+            "hot",
+            (F.col("ivf_cell") >= 0)
+            & (F.col("share") > F.lit(float(hot_factor) * uniform)),
+        )
+        .orderBy("ivf_cell")
+    )
