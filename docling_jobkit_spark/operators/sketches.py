@@ -757,6 +757,11 @@ def ngram_topk(
     Tokenization matches the repo's whitespace ``tokens()`` (lowercased),
     the same convention as repetition_signals' oracle.
     """
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    # the explode + per-token gram construction is the cost, not the
+    # scan — guard against single-split inputs (no-op at corpus scale)
+    df = spread_for_compute(df)
     toks = tokens(F.lower(F.col(text_col)))
     # guard, don't greatest(): sequence(1, 0) steps BACKWARD in Spark
     # ([1, 0]) — a < n-token doc must emit zero grams, not two bogus ones

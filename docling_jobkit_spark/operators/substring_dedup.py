@@ -76,6 +76,11 @@ def exact_substring_dedup(
     other than the corpus-first one are removed; survivors re-join with
     single spaces. Docs with < k tokens are never marked. Whitespace is
     normalized by construction (tokenization is whitespace-split)."""
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    # the tokenize + two per-token hash transforms below are the cost —
+    # spread a single-split scan before paying them (no-op at scale)
+    df = spread_for_compute(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_toks"),

@@ -127,7 +127,11 @@ def normalize_col(c: Column) -> Column:
 def normalize_text(
     df: DataFrame, col: str = "text", out_col: str = "text_norm"
 ) -> DataFrame:
-    return df.withColumn(out_col, normalize_col(F.col(col)))
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+
+    # NFC (batched Python) + the regex chain are per-char costs — spread
+    # a single-split scan before paying them (no-op at corpus scale)
+    return spread_for_compute(df).withColumn(out_col, normalize_col(F.col(col)))
 
 
 def normalize_oracle_sql(col_expr: str) -> str:
