@@ -1900,6 +1900,69 @@ def _q_ivf_index_maintenance(spark, sf_dir):
     return ivf_index_report(spark, path, centroids=cents)
 
 
+def _q_bloom_pruned_scan(spark, sf_dir):
+    """File-level Bloom skipping index (operators/bloom_index.py): the
+    point-predicate complement of the zone map. Documents are laid out
+    as range-contiguous files, a per-file Bloom manifest over
+    content_hash is built by ONE map-side-combined aggregation (the
+    shuffle carries only (file, word, mask) — metadata-sized at any
+    corpus size), persisted, read back (_SUCCESS-gated), and a
+    ``content_hash IN (...)`` lookup reads ONLY the surviving files by
+    explicit path. Zone maps cannot prune this query — a hash column's
+    min/max spans the domain in every file; this is Parquet
+    bloom-filter / Delta file-skipping semantics as a relational
+    manifest. Rows-only: file layout has no DuckDB twin; the row
+    carries its own certificate (pruned row set == full-scan filter,
+    files_kept < files_total, absent probe prunes everything) and
+    tests/test_bloom_index.py pins no-false-negatives, the sentinel
+    all-NULL/never-indexed distinction, geometry/family refusal, and
+    incremental update == fresh build. Output dir is per-process."""
+    import os
+    import tempfile
+
+    from docling_jobkit_spark.functions.scalar import content_hash
+    from docling_jobkit_spark.operators.bloom_index import (
+        build_bloom_index,
+        prune_files_bloom,
+        read_bloom_index,
+        scan_pruned_bloom,
+        write_bloom_index,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("content_hash", content_hash(F.col("text")))
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_bloomidx_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    docs.repartitionByRange(16, "doc_id").write.mode("overwrite").parquet(
+        base + "/t"
+    )
+    idx = build_bloom_index(spark, base + "/t", ["content_hash"])
+    write_bloom_index(idx, base + "/idx")
+    idx = read_bloom_index(spark, base + "/idx").localCheckpoint()
+    vals = [
+        r["content_hash"]
+        for r in docs.orderBy("doc_id").limit(3).collect()
+    ]
+    pruned, kept, total = scan_pruned_bloom(spark, idx, "content_hash", vals)
+    full = docs.where(F.col("content_hash").isin(vals))
+    n_pruned, n_full = pruned.count(), full.count()
+    absent_kept, _ = prune_files_bloom(idx, "content_hash", ["0" * 64])
+    return spark.range(1).select(
+        F.lit(total).alias("files_total"),
+        F.lit(kept).alias("files_kept"),
+        F.lit(n_pruned).cast("long").alias("n_rows_pruned_read"),
+        F.lit(n_full).cast("long").alias("n_rows_full_filter"),
+        F.lit(bool(n_pruned == n_full and n_full >= 3)).alias("rows_match"),
+        F.lit(bool(kept < total)).alias("pruned"),
+        F.lit(len(absent_kept)).alias("files_kept_absent_probe"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2316,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ingest": _q_incremental_ingest,
         "ingest_state_report": _q_ingest_state_report,
         "ivf_index_maintenance": _q_ivf_index_maintenance,
+        "bloom_pruned_scan": _q_bloom_pruned_scan,
     }
 
 

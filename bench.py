@@ -121,6 +121,7 @@ EXTRA_TIMED_QUERIES = [
     "incremental_ingest",
     "ingest_state_report",
     "ivf_index_maintenance",
+    "bloom_pruned_scan",
 ]
 
 
