@@ -65,7 +65,13 @@ def pagerank(
     teleport; pr is the quantized rank as a double (node ranks sum to
     ~1 up to quantization). Handles dangling nodes by redistributing
     their mass uniformly each iteration."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the edge set ONCE: every power iteration joins against
+    # it, and an unmaterialized lineage (corpus scan + regex anchor
+    # extraction + resolution + distinct) would re-run per iteration —
+    # n_iter× the extraction cost (measured 10× here before the fix)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=False)
     nodes = _nodes(e, "_s", "_d").localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
@@ -88,14 +94,25 @@ def pagerank(
     )
     teleport_q = int(math.floor((1.0 - damping) / n / _QUANT + 0.5))
     for _ in range(int(n_iter)):
-        # bounded: ONE scalar row (dangling mass) per iteration
-        dangling_q = (
+        # bounded: ONE scalar row (dangling mass) per iteration, folded
+        # into the update plan via a broadcast equi-join on a constant
+        # key (NOT a collect — a driver round-trip per iteration doubles
+        # the job count of the whole loop; and NOT a keyless join, which
+        # plans a BroadcastNestedLoopJoin). Arithmetic mirrors the
+        # pure-Python reference bit-for-bit: IEEE double product then
+        # floor(x + 0.5), cast long.
+        dangling = (
             ranks.where(F.col("_deg") == 0)
-            .agg(F.coalesce(F.sum("_rq"), F.lit(0)))
-            .collect()[0][0]
-        )
-        dangling_share_q = int(
-            math.floor(float(dangling_q) * damping / n + 0.5)
+            .agg(F.coalesce(F.sum("_rq"), F.lit(0)).alias("_dq"))
+            .select(
+                F.lit(1).alias("_k"),
+                F.floor(
+                    F.col("_dq").cast("double") * F.lit(damping) / F.lit(n)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("_dshare"),
+            )
         )
         contrib = (
             e.join(ranks.where(F.col("_deg") > 0), e["_s"] == ranks["node"])
@@ -113,10 +130,13 @@ def pagerank(
         )
         ranks = (
             ranks.join(contrib, on="node", how="left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(dangling), on="_k")
             .select(
                 "node",
                 (
-                    F.lit(teleport_q + dangling_share_q)
+                    F.lit(teleport_q)
+                    + F.col("_dshare")
                     + F.coalesce("_in", F.lit(0))
                 )
                 .cast("long")
