@@ -313,7 +313,13 @@ def update_bloom_index(
     from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
 
     on_disk = {_canon(p) for p, _ in _list_parquet_files(spark, table_path)}
+    # a fully-expired manifest is valid but stamp-less (0 rows) — there is
+    # no geometry to inherit, so it reconciles exactly like a fresh build
+    if index is not None and index.limit(1).count() == 0:
+        index = None
     if index is None:
+        if not on_disk:  # nothing to index and no stamp to keep
+            return spark.createDataFrame([], INDEX_SCHEMA), 0, 0
         idx = build_bloom_index(spark, table_path, cols, n_bits, k_hashes)
         return idx, len(on_disk), 0
 

@@ -74,11 +74,18 @@ from docling_jobkit_spark.operators.minhash_index import (
     read_minhash_index,
     write_minhash_index,
 )
+from docling_jobkit_spark.operators.bloom_index import (
+    read_bloom_index,
+    scan_pruned_bloom,
+    update_bloom_index,
+    write_bloom_index,
+)
 from docling_jobkit_spark.operators.zonemap import (
     read_zonemap,
     update_zonemap,
     write_zonemap,
 )
+from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
 from docling_jobkit_spark.plans.curation import (
     STAGES,
     CurationConfig,
@@ -107,6 +114,10 @@ class IngestConfig:
     tau: float = 0.8  # fuzzy threshold vs history (est. Jaccard)
     broadcast_delta: bool = True  # steady state: delta ≪ history
     zonemap_cols: tuple[str, ...] = ("n_chars",)
+    # file-level Bloom index over the corpus (point lookups: audits /
+    # takedown "which files hold this doc" — zone maps can't prune a
+    # hash column). Empty tuple disables.
+    bloom_cols: tuple[str, ...] = ("content_hash",)
     max_records_per_file: int = 50_000
     max_shard_bytes: int | None = None
 
@@ -386,6 +397,23 @@ def ingest_batch(
     zm = zm.localCheckpoint(eager=True)
     write_zonemap(zm, zonemap_dir)
 
+    # Bloom manifest over the same corpus (point-predicate twin of the
+    # zone map; operators/bloom_index.py): incremental — only this
+    # batch's new files are scanned, steady state scans nothing. Same
+    # torn-write posture (gate on _SUCCESS, degrade to rebuild).
+    if cfg.bloom_cols:
+        bloom_dir = f"{root}/bloomidx"
+        bi_prev = (
+            read_bloom_index(spark, bloom_dir)
+            if _exists(spark, f"{bloom_dir}/_SUCCESS")
+            else None
+        )
+        if bi_prev is not None or _list_parquet_files(spark, corpus_root):
+            bi, _bn, _bd = update_bloom_index(
+                spark, corpus_root, bi_prev, list(cfg.bloom_cols)
+            )
+            write_bloom_index(bi.localCheckpoint(eager=True), bloom_dir)
+
     ledger = funnel_ledger(stamped, stages=INGEST_STAGES)
     ledger.coalesce(1).write.mode("overwrite").parquet(ledger_dir)
 
@@ -508,6 +536,19 @@ def compact_ingest_batch(
             ["n_chars"],
         )
         write_zonemap(zm.localCheckpoint(eager=True), zonemap_dir)
+    # bloom manifest likewise (indexed columns read off the index
+    # itself, so a rewrite can't silently change coverage)
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        bi_prev = read_bloom_index(spark, bloom_dir)
+        bcols = sorted(
+            r["column"] for r in bi_prev.select("column").distinct().collect()
+        )
+        if bcols:
+            bi, _bn, _bd = update_bloom_index(
+                spark, f"{root}/corpus", bi_prev, bcols
+            )
+            write_bloom_index(bi.localCheckpoint(eager=True), bloom_dir)
 
     fs, jtmp = _fs(spark, tmp)
     fs.delete(jtmp, True)
@@ -560,13 +601,23 @@ def expire_batch_payload(
     corpus_dir = f"{root}/corpus/batch={batch_id}"
     shards_dir = f"{root}/shards/batch={batch_id}"
 
-    # 1. manifest first: drop this batch's file rows (metadata-sized)
+    # 1. manifests first: drop this batch's file rows (metadata-sized).
+    # BOTH pruning manifests stop referencing the files before any file
+    # is deleted — scan_pruned / scan_pruned_bloom read survivors by
+    # explicit manifest path, so the reverse order would leave a window
+    # where a pruned scan references deleted files.
     zonemap_dir = f"{root}/zonemap"
     if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
         zm = read_zonemap(spark, zonemap_dir)
         keep = zm.where(~F.col("file").contains(f"/batch={batch_id}/"))
         if keep.count() < zm.count():
             write_zonemap(keep.localCheckpoint(eager=True), zonemap_dir)
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        bi = read_bloom_index(spark, bloom_dir)
+        bkeep = bi.where(~F.col("file").contains(f"/batch={batch_id}/"))
+        if bkeep.count() < bi.count():
+            write_bloom_index(bkeep.localCheckpoint(eager=True), bloom_dir)
 
     # 2-3. delete payload dirs (idempotent; sizes counted before)
     already = not _exists(spark, corpus_dir)
@@ -578,6 +629,54 @@ def expire_batch_payload(
             n_bytes += int(fs.getContentSummary(jpath).getLength())
             fs.delete(jpath, True)
     return ExpireBatchStats(batch_id, n_files, n_bytes, already)
+
+
+def locate_content(
+    spark: SparkSession, state_dir: str, hashes: list[str]
+) -> tuple[DataFrame, int, int]:
+    """Point lookup across every committed batch's corpus files — the
+    audit / takedown query ("which files hold these documents?"):
+    returns (matching corpus rows + their file path, files_read,
+    files_total). With the Bloom manifest present the scan reads ONLY
+    the survivor files by explicit path (at 10^6 corpus files a
+    takedown probe opens a handful); without it (bloom_cols=() configs,
+    or a legacy state dir) it degrades to the full corpus scan — the
+    index is an accelerator, never a correctness dependency. Expired
+    batches' files are absent from the manifest by the expire ordering,
+    so a probe never references deleted payload."""
+    if not hashes:
+        raise ValueError("hashes must be non-empty")
+    root = state_dir.rstrip("/")
+    corpus_root = f"{root}/corpus"
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        idx = read_bloom_index(spark, bloom_dir)
+        # fully-expired corpus: the manifest is empty and there is no
+        # file to derive a scan schema from — nothing to find
+        if idx.limit(1).count() == 0:
+            return (
+                spark.createDataFrame([], CORPUS_SCHEMA + ", file string"),
+                0,
+                0,
+            )
+        df, kept, total = scan_pruned_bloom(
+            spark, idx, "content_hash", hashes
+        )
+        return df.withColumn("file", F.input_file_name()), kept, total
+    files = [p for p, _ in _list_parquet_files(spark, corpus_root)]
+    if not files:
+        return (
+            spark.createDataFrame([], CORPUS_SCHEMA + ", file string"),
+            0,
+            0,
+        )
+    df = (
+        spark.read.schema(CORPUS_SCHEMA)
+        .parquet(*files)
+        .where(F.col("content_hash").isin([str(h) for h in hashes]))
+        .withColumn("file", F.input_file_name())
+    )
+    return df, len(files), len(files)
 
 
 def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:

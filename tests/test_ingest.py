@@ -478,3 +478,81 @@ def test_expire_batch_payload(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not committed"):
         expire_batch_payload(spark, root, "nope")
+
+
+def test_bloom_manifest_locates_content_and_survives_lifecycle(
+    spark, sf_dir, tmp_path
+):
+    """The corpus Bloom manifest (operators/bloom_index.py wired into
+    the commit): locate_content reads a strict subset of corpus files
+    for a point lookup; expire drops the batch's index rows BEFORE its
+    files are deleted (a probe never references deleted payload);
+    compaction reconciles the manifest to the rewritten files."""
+    from docling_jobkit_spark.operators.bloom_index import read_bloom_index
+    from docling_jobkit_spark.plans.ingest import (
+        _exists,
+        compact_ingest_batch,
+        expire_batch_payload,
+        locate_content,
+    )
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "2026-01", config=CFG)
+    a_probe = res_a.kept.orderBy("doc_id").limit(1).collect()[0]
+    b = _make_batch_b(fresh_b, res_a.kept).localCheckpoint(eager=True)
+    res_b = ingest_batch(spark, b, root, "2026-02", config=CFG)
+    assert _exists(spark, f"{root}/bloomidx/_SUCCESS")
+
+    target = res_b.kept.orderBy("doc_id").limit(1).collect()[0]
+    df, kept, total = locate_content(spark, root, [target["content_hash"]])
+    rows = df.collect()
+    assert any(r["doc_id"] == target["doc_id"] for r in rows)
+    assert rows and all("/batch=" in r["file"] for r in rows)
+    assert 0 < kept < total
+
+    # absent hash: provably nowhere — zero files read, empty result
+    df0, kept0, _t = locate_content(spark, root, ["0" * 64])
+    assert df0.count() == 0 and kept0 == 0
+
+    # expire batch A: the manifest stops referencing its files FIRST
+    expire_batch_payload(spark, root, "2026-01")
+    bi = read_bloom_index(spark, f"{root}/bloomidx")
+    files = [r["file"] for r in bi.select("file").distinct().collect()]
+    assert files and all("/batch=2026-01/" not in f for f in files)
+    # a batch-A doc's hash: probe runs clean (no deleted file opened);
+    # B's planted exact re-posts were DROPPED, so nothing matches
+    dfa, _k, _t2 = locate_content(spark, root, [a_probe["content_hash"]])
+    assert all("/batch=2026-01/" not in r["file"] for r in dfa.collect())
+    # B's own docs still locate after the expire
+    df2, _k2, _t3 = locate_content(spark, root, [target["content_hash"]])
+    assert any(r["doc_id"] == target["doc_id"] for r in df2.collect())
+
+    # compaction reconciles: locate stays exact against rewritten files
+    compact_ingest_batch(spark, root, "2026-02")
+    df3, _k3, _t4 = locate_content(spark, root, [target["content_hash"]])
+    assert any(r["doc_id"] == target["doc_id"] for r in df3.collect())
+    bi2 = read_bloom_index(spark, f"{root}/bloomidx")
+    live = {r["file"] for r in bi2.select("file").distinct().collect()}
+    from docling_jobkit_spark.operators.zonemap import _canon
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    on_disk = {_canon(p) for p, _ in _list_parquet_files(spark, f"{root}/corpus")}
+    assert live == on_disk
+
+
+def test_bloom_disabled_falls_back_to_full_scan(spark, sf_dir, tmp_path):
+    """bloom_cols=() configs never write a manifest; locate_content
+    degrades to the full corpus scan and stays correct (the index is an
+    accelerator, not a correctness dependency)."""
+    from docling_jobkit_spark.plans.ingest import _exists, locate_content
+
+    root = str(tmp_path / "state")
+    cfg = IngestConfig(curation=CurationConfig(), tau=0.8, bloom_cols=())
+    a, _fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "2026-01", config=cfg)
+    assert not _exists(spark, f"{root}/bloomidx")
+    probe = res_a.kept.orderBy("doc_id").limit(1).collect()[0]
+    df, kept, total = locate_content(spark, root, [probe["content_hash"]])
+    assert kept == total > 0
+    assert any(r["doc_id"] == probe["doc_id"] for r in df.collect())
