@@ -1963,6 +1963,81 @@ def _q_bloom_pruned_scan(spark, sf_dir):
     )
 
 
+def _q_content_locate(spark, sf_dir):
+    """Audit / takedown point lookup across the committed ingest layout
+    (plans/ingest.py::locate_content): a bounded single-batch ingest
+    commit maintains the corpus Bloom manifest alongside the zone map,
+    then "which corpus files hold these documents?" is answered by
+    reading ONLY the Bloom-surviving files by explicit path — at 10^6
+    corpus files a takedown probe opens a handful. The entry probes 3
+    committed content hashes plus one provably-absent hash (zero files
+    read), then expires the batch's payload and re-probes to pin the
+    manifest-first delete ordering (a pruned scan never references
+    deleted files). Returns one summary row carrying its own
+    certificates. Rows-only (file-layout state; the oracle window is
+    full); the lifecycle — expire ordering, compaction reconciliation,
+    disabled-index degradation to a full scan — is pinned in
+    tests/test_ingest.py. Output dir is per-process."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        expire_batch_payload,
+        ingest_batch,
+        locate_content,
+    )
+
+    from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 8 == 1)  # bounded single-batch commit
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+        .select("doc_id", "url", "text")
+    )
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_locate_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    # small files ON PURPOSE: the bounded batch must land in several
+    # corpus files or the pruning certificate below is vacuous
+    res = ingest_batch(
+        spark, base, state, "2026-01",
+        config=IngestConfig(max_records_per_file=8),
+    )
+    # probe 3 hashes that live in ONE corpus file so "read a strict
+    # subset" holds for any row order the funnel produced
+    cfiles = sorted(p for p, _ in _list_parquet_files(spark, f"{state}/corpus"))
+    vals = [
+        r["content_hash"]
+        for r in spark.read.parquet(cfiles[0]).orderBy("doc_id").limit(3).collect()
+    ]
+    hits, kept, total = locate_content(spark, state, vals)
+    # materialize BEFORE the expire below invalidates the file listing
+    hits = hits.localCheckpoint(eager=True)
+    n_hits = hits.count()
+    n_files_hit = hits.select("file").distinct().count()
+    _a, kept_absent, _t = locate_content(spark, state, ["0" * 64])
+    expire_batch_payload(spark, state, "2026-01")
+    gone, kept_gone, _t2 = locate_content(spark, state, vals)
+    return spark.range(1).select(
+        F.lit(total).alias("files_total"),
+        F.lit(kept).alias("files_read"),
+        F.lit(n_hits).cast("long").alias("n_rows_located"),
+        F.lit(n_files_hit).cast("long").alias("n_files_located"),
+        F.lit(
+            bool(n_hits >= 1 and (kept < total or total <= 1))
+        ).alias("pruned_and_found"),
+        F.lit(kept_absent).alias("files_read_absent_probe"),
+        F.lit(int(gone.count())).alias("n_rows_after_expire"),
+        F.lit(kept_gone).alias("files_read_after_expire"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2380,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_state_report": _q_ingest_state_report,
         "ivf_index_maintenance": _q_ivf_index_maintenance,
         "bloom_pruned_scan": _q_bloom_pruned_scan,
+        "content_locate": _q_content_locate,
     }
 
 

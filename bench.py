@@ -122,6 +122,7 @@ EXTRA_TIMED_QUERIES = [
     "ingest_state_report",
     "ivf_index_maintenance",
     "bloom_pruned_scan",
+    "content_locate",
 ]
 
 

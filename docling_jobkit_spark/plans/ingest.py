@@ -349,7 +349,13 @@ def ingest_batch(
     kept = kept.withColumn("content_hash", content_hash(F.col("text"))).withColumn(
         "n_chars", F.length("text").cast("long")
     )
-    kept.write.mode("overwrite").parquet(corpus_dir)
+    # honor the target-file-size knob on the corpus too (the JSONL
+    # shard sink already does): a batch larger than one task's slice
+    # splits into bounded files, which keeps per-file Bloom / zone-map
+    # pruning granular instead of one-manifest-row-per-batch
+    kept.write.option(
+        "maxRecordsPerFile", cfg.max_records_per_file
+    ).mode("overwrite").parquet(corpus_dir)
     # every downstream artifact derives from the COMMITTED bytes
     committed = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
 
