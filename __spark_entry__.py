@@ -2038,6 +2038,96 @@ def _q_content_locate(spark, sf_dir):
     )
 
 
+def _q_corpus_time_travel(spark, sf_dir):
+    """Time-travel + orphan vacuum over the committed ingest layout
+    (plans/ingest.py::read_corpus_asof / vacuum_ingest_state — the
+    Iceberg VERSION-AS-OF and remove_orphan_files analogs): two bounded
+    batches commit, then the entry reconstructs the corpus at EACH
+    commit point (asof batch 1 sees only batch 1; asof batch 2 sees the
+    union — partition-pruned via the batch column), vacuums planted
+    torn-commit debris plus an incomplete compaction tmp (a certified
+    tmp survives — it is the heal copy), verifies committed replays
+    still no-op after the vacuum, and finally expires batch 1's payload
+    to pin the honest time-travel contract: as-of a window crossing
+    expired history RAISES unless partial history is explicitly opted
+    into. One summary row of self-certificates. Rows-only (file-layout
+    state; the oracle window is full); semantics are pinned in
+    tests/test_ingest.py. Output dir is per-process."""
+    import os
+    import pathlib
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        expire_batch_payload,
+        ingest_batch,
+        read_corpus_asof,
+        vacuum_ingest_state,
+    )
+
+    def _batch(mod):
+        return (
+            _read(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 16 == mod)  # bounded batches
+            .select("doc_id", "source", "lang", "text")
+            .withColumn("url", _synth_url())
+            .select("doc_id", "url", "text")
+        )
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_asof_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    cfg = IngestConfig()
+    res1 = ingest_batch(spark, _batch(1), state, "2026-01", config=cfg)
+    res2 = ingest_batch(spark, _batch(2), state, "2026-02", config=cfg)
+    k1, k2 = res1.kept.count(), res2.kept.count()
+
+    asof1 = read_corpus_asof(spark, state, "2026-01")
+    n_asof1 = asof1.count()
+    n_batches1 = asof1.select("batch").distinct().count()
+    n_asof2 = read_corpus_asof(spark, state, "2026-02").count()
+
+    # torn-commit debris + an incomplete compaction tmp; a CERTIFIED
+    # tmp must survive the vacuum (it is the heal copy)
+    for fam in ("corpus", "seen", "ledger"):
+        d = pathlib.Path(state) / fam / "batch=torn"
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"\x00junk")
+    t_bad = pathlib.Path(state) / "corpus_compact" / "batch=2026-01"
+    t_bad.mkdir(parents=True)
+    (t_bad / "part-00000.parquet").write_bytes(b"\x00junk")
+    t_ok = pathlib.Path(state) / "corpus_compact" / "batch=2026-00"
+    t_ok.mkdir(parents=True)
+    (t_ok / "part-00000.parquet").write_bytes(b"\x00data")
+    (t_ok / "_SUCCESS").write_bytes(b"")
+    vs = vacuum_ingest_state(spark, state, min_age_seconds=0)
+    replay_ok = ingest_batch(spark, _batch(1), state, "2026-01", config=cfg).replayed
+
+    expire_batch_payload(spark, state, "2026-01")
+    try:
+        read_corpus_asof(spark, state, "2026-02")
+        raised = False
+    except ValueError:
+        raised = True
+    n_partial = read_corpus_asof(
+        spark, state, "2026-02", on_expired="skip"
+    ).count()
+
+    return spark.range(1).select(
+        F.lit(n_asof1).cast("long").alias("n_asof_batch1"),
+        F.lit(bool(n_asof1 == k1 and n_batches1 == 1)).alias("asof1_exact"),
+        F.lit(bool(n_asof2 == k1 + k2)).alias("asof2_is_union"),
+        F.lit(vs.n_dirs_deleted).cast("long").alias("orphan_dirs_vacuumed"),
+        F.lit(vs.n_kept_recovery).cast("long").alias("certified_tmps_kept"),
+        F.lit(bool(replay_ok)).alias("replay_noop_after_vacuum"),
+        F.lit(bool(raised)).alias("expired_asof_raises"),
+        F.lit(bool(n_partial == k2)).alias("partial_optin_exact"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2456,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_maintenance": _q_ivf_index_maintenance,
         "bloom_pruned_scan": _q_bloom_pruned_scan,
         "content_locate": _q_content_locate,
+        "corpus_time_travel": _q_corpus_time_travel,
     }
 
 

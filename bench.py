@@ -123,6 +123,7 @@ EXTRA_TIMED_QUERIES = [
     "ivf_index_maintenance",
     "bloom_pruned_scan",
     "content_locate",
+    "corpus_time_travel",
 ]
 
 

@@ -637,6 +637,146 @@ def expire_batch_payload(
     return ExpireBatchStats(batch_id, n_files, n_bytes, already)
 
 
+def read_corpus_asof(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: str,
+    on_expired: str = "raise",
+) -> DataFrame:
+    """Time-travel read — the corpus exactly as it stood after
+    ``batch_id`` committed (the Iceberg ``VERSION AS OF`` analog for
+    the ingest layout): the union of every committed batch whose id
+    sorts ``<= batch_id``. Batch ids order lexicographically, which is
+    chronological for the ISO-dated ids the loop uses ("2026-01").
+
+    ``batch_id`` itself must be committed (reading "as of" a snapshot
+    that never existed is an error, same as Iceberg). If any batch in
+    the window had its payload reclaimed by ``expire_batch_payload``,
+    that history is no longer reconstructible: ``on_expired="raise"``
+    (default) refuses loudly, naming the expired batches;
+    ``on_expired="skip"`` returns the surviving subset — an explicit
+    partial-history opt-in, never a silent one.
+
+    Plan shape: an explicit committed-dir list under one ``basePath``,
+    so the ``batch`` partition column rides the rows and Catalyst can
+    partition-prune any ``WHERE batch = ...`` on top; marker-only
+    (all-dropped) batch dirs contribute zero files. Metadata cost is
+    one driver listing — no data file is opened to resolve the window.
+    """
+    if on_expired not in ("raise", "skip"):
+        raise ValueError(f"on_expired must be 'raise' or 'skip', got {on_expired!r}")
+    root = state_dir.rstrip("/")
+    committed = _committed_batch_dirs(spark, f"{root}/ledger")
+    if batch_id not in committed:
+        raise ValueError(
+            f"batch {batch_id!r} is not committed; cannot time-travel to it"
+        )
+    window = sorted(b for b in committed if b <= batch_id)
+    expired = [
+        b for b in window if not _exists(spark, f"{root}/corpus/batch={b}")
+    ]
+    if expired and on_expired == "raise":
+        raise ValueError(
+            f"time travel to {batch_id!r} crosses expired payload "
+            f"(batches {expired}); pass on_expired='skip' to read the "
+            f"surviving subset"
+        )
+    dirs = [
+        f"{root}/corpus/batch={b}" for b in window if b not in set(expired)
+    ]
+    if not dirs:
+        return _empty_corpus(spark).withColumn(
+            "batch", F.lit(None).cast("string")
+        )
+    return (
+        spark.read.option("basePath", f"{root}/corpus")
+        .schema(CORPUS_SCHEMA)
+        .parquet(*dirs)
+        # partition-type inference would make a purely numeric id an
+        # int column; batch ids are strings everywhere else
+        .withColumn("batch", F.col("batch").cast("string"))
+    )
+
+
+@dataclass(frozen=True)
+class VacuumStats:
+    n_dirs_deleted: int
+    bytes_reclaimed: int
+    deleted: tuple[str, ...]
+    n_kept_recovery: int  # complete compact tmps left for heal
+
+
+def vacuum_ingest_state(
+    spark: SparkSession, state_dir: str, min_age_seconds: float = 86400.0
+) -> VacuumStats:
+    """Orphan cleanup — the Iceberg ``remove_orphan_files`` analog for
+    the ingest layout. Deletes exactly two kinds of debris, both
+    unreachable by every reader:
+
+    1. per-batch family dirs (``corpus/seen/index/shards/ledger``)
+       whose batch has NO ledger commit marker — a torn commit's
+       partial writes. History probes already ignore them
+       (probe-NEVER-SELF gates on each dir's own ``_SUCCESS``), replay
+       rewrites them mode=overwrite; they are pure dead storage.
+    2. INCOMPLETE compaction tmps (``corpus_compact/batch=<id>`` with
+       no ``_SUCCESS``) — ``compact_ingest_batch`` never reads an
+       uncertified tmp (it restarts from src), so these are dead too.
+       A COMPLETE tmp is NEVER touched: it is the certified recovery
+       copy a torn copy-back heals from; deleting it could orphan the
+       only intact copy of a damaged src.
+
+    ``min_age_seconds`` (default 24 h) is the same writer-race guard
+    Iceberg uses: a dir younger than the cutoff might belong to the
+    single in-flight writer and is skipped. Age is the dir's own
+    modification time — the last touch of a torn write is the crash
+    moment. Deletes are idempotent; a crash mid-vacuum just leaves
+    fewer orphans for the rerun."""
+    import time
+
+    root = state_dir.rstrip("/")
+    committed = set(_committed_batch_dirs(spark, f"{root}/ledger"))
+    cutoff_ms = (time.time() - float(min_age_seconds)) * 1000.0
+    deleted: list[str] = []
+    n_bytes = 0
+    n_kept_recovery = 0
+
+    def _batch_dirs(family_root: str):
+        fs, jroot = _fs(spark, family_root)
+        if not fs.exists(jroot):
+            return
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch="):
+                yield fs, st, name[len("batch="):]
+
+    for family in ("corpus", "seen", "index", "shards", "ledger"):
+        for fs, st, bid in _batch_dirs(f"{root}/{family}"):
+            if bid in committed or st.getModificationTime() >= cutoff_ms:
+                continue
+            n_bytes += int(fs.getContentSummary(st.getPath()).getLength())
+            fs.delete(st.getPath(), True)
+            deleted.append(st.getPath().toString())
+
+    jvm = spark.sparkContext._jvm
+    for fs, st, _bid in _batch_dirs(f"{root}/corpus_compact"):
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            n_kept_recovery += 1  # certified heal copy — never vacuumed
+            continue
+        if st.getModificationTime() >= cutoff_ms:
+            continue
+        n_bytes += int(fs.getContentSummary(st.getPath()).getLength())
+        fs.delete(st.getPath(), True)
+        deleted.append(st.getPath().toString())
+
+    return VacuumStats(
+        n_dirs_deleted=len(deleted),
+        bytes_reclaimed=n_bytes,
+        deleted=tuple(sorted(deleted)),
+        n_kept_recovery=n_kept_recovery,
+    )
+
+
 def locate_content(
     spark: SparkSession, state_dir: str, hashes: list[str]
 ) -> tuple[DataFrame, int, int]:

@@ -541,6 +541,120 @@ def test_bloom_manifest_locates_content_and_survives_lifecycle(
     assert live == on_disk
 
 
+def test_read_corpus_asof_reconstructs_each_commit_point(spark, state):
+    from docling_jobkit_spark.plans.ingest import read_corpus_asof
+
+    root, _, _, res_a, res_b = state
+    a_hashes = {r["content_hash"] for r in res_a.kept.collect()}
+    b_hashes = {r["content_hash"] for r in res_b.kept.collect()}
+
+    asof1 = read_corpus_asof(spark, root, "2026-01")
+    assert "batch" in asof1.columns
+    rows1 = asof1.collect()
+    assert {r["content_hash"] for r in rows1} == a_hashes
+    assert {r["batch"] for r in rows1} == {"2026-01"}
+
+    asof2 = read_corpus_asof(spark, root, "2026-02")
+    assert {r["content_hash"] for r in asof2.collect()} == a_hashes | b_hashes
+
+    # the batch partition column prunes: filtering asof2 back to the
+    # first commit point reads exactly the asof1 row set
+    pruned = asof2.where(F.col("batch") == "2026-01")
+    assert pruned.count() == len(rows1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "batch" in plan
+
+    with pytest.raises(ValueError, match="not committed"):
+        read_corpus_asof(spark, root, "2026-03")
+    with pytest.raises(ValueError, match="on_expired"):
+        read_corpus_asof(spark, root, "2026-01", on_expired="maybe")
+
+
+def test_read_corpus_asof_refuses_expired_history_unless_opted_in(
+    spark, sf_dir, tmp_path
+):
+    from docling_jobkit_spark.plans.ingest import (
+        expire_batch_payload,
+        read_corpus_asof,
+    )
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)
+    ingest_batch(spark, a, root, "2026-01", config=CFG)
+    res_b = ingest_batch(spark, fresh_b, root, "2026-02", config=CFG)
+    expire_batch_payload(spark, root, "2026-01")
+
+    with pytest.raises(ValueError, match="expired.*2026-01"):
+        read_corpus_asof(spark, root, "2026-02")
+    # explicit partial-history opt-in: the surviving subset, labeled
+    part = read_corpus_asof(spark, root, "2026-02", on_expired="skip")
+    rows = part.collect()
+    assert {r["batch"] for r in rows} == {"2026-02"}
+    assert {r["content_hash"] for r in rows} == {
+        r["content_hash"] for r in res_b.kept.collect()
+    }
+    # the expired batch itself: nothing survives in its window
+    empty = read_corpus_asof(spark, root, "2026-01", on_expired="skip")
+    assert empty.count() == 0 and "batch" in empty.columns
+
+
+def test_vacuum_ingest_state_removes_only_unreachable_debris(
+    spark, sf_dir, tmp_path
+):
+    """Torn-commit family dirs (no ledger marker) and INCOMPLETE
+    compaction tmps vacuum away; committed state and certified
+    (complete) compaction tmps are never touched; the age guard skips
+    young dirs (the possibly-in-flight writer)."""
+    import pathlib
+
+    from docling_jobkit_spark.plans.ingest import (
+        _exists,
+        vacuum_ingest_state,
+    )
+
+    root = str(tmp_path / "state")
+    a, _ = _batch_a(spark, sf_dir)
+    res = ingest_batch(spark, a, root, "v1", config=CFG)
+    want_kept = res.kept.count()
+
+    # plant a torn commit (crash before the ledger marker)
+    for fam in ("corpus", "seen", "ledger"):
+        d = pathlib.Path(root) / fam / "batch=torn"
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"\x00junk")
+    # an incomplete compaction tmp (no _SUCCESS): dead — never read
+    t_bad = pathlib.Path(root) / "corpus_compact" / "batch=v1"
+    t_bad.mkdir(parents=True)
+    (t_bad / "part-00000.parquet").write_bytes(b"\x00junk")
+    # a CERTIFIED tmp: the heal copy a torn copy-back recovers from
+    t_ok = pathlib.Path(root) / "corpus_compact" / "batch=v0"
+    t_ok.mkdir(parents=True)
+    (t_ok / "part-00000.parquet").write_bytes(b"\x00data")
+    (t_ok / "_SUCCESS").write_bytes(b"")
+
+    # age guard first: everything is younger than an hour → no-op
+    st0 = vacuum_ingest_state(spark, root, min_age_seconds=3600)
+    assert st0.n_dirs_deleted == 0 and _exists(spark, str(t_bad))
+
+    st = vacuum_ingest_state(spark, root, min_age_seconds=0)
+    assert st.n_dirs_deleted == 4 and st.bytes_reclaimed > 0
+    assert {p.rsplit("/", 2)[-2] + "/" + p.rsplit("/", 2)[-1] for p in st.deleted} == {
+        "corpus/batch=torn",
+        "seen/batch=torn",
+        "ledger/batch=torn",
+        "corpus_compact/batch=v1",
+    }
+    assert st.n_kept_recovery == 1 and _exists(spark, str(t_ok))
+
+    # committed state untouched: replay still no-ops with the same kept
+    res_rep = ingest_batch(spark, a, root, "v1", config=CFG)
+    assert res_rep.replayed and res_rep.kept.count() == want_kept
+
+    # idempotent
+    st2 = vacuum_ingest_state(spark, root, min_age_seconds=0)
+    assert st2.n_dirs_deleted == 0 and st2.n_kept_recovery == 1
+
+
 def test_bloom_disabled_falls_back_to_full_scan(spark, sf_dir, tmp_path):
     """bloom_cols=() configs never write a manifest; locate_content
     degrades to the full corpus scan and stays correct (the index is an
