@@ -2004,10 +2004,13 @@ def _q_content_locate(spark, sf_dir):
     )
     shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
     # small files ON PURPOSE: the bounded batch must land in several
-    # corpus files or the pruning certificate below is vacuous
+    # corpus files or the pruning certificate below is vacuous — but
+    # scale-adaptively (~≤32 files at any sf; a fixed tiny cap made
+    # the sf0.1 commit build manifests over ~500 files)
+    per_file = max(8, int(base.count()) // 32)
     res = ingest_batch(
         spark, base, state, "2026-01",
-        config=IngestConfig(max_records_per_file=8),
+        config=IngestConfig(max_records_per_file=per_file),
     )
     # probe 3 hashes that live in ONE corpus file so "read a strict
     # subset" holds for any row order the funnel produced
@@ -2080,7 +2083,10 @@ def _q_corpus_time_travel(spark, sf_dir):
         f"djs_asof_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
     )
     shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
-    cfg = IngestConfig()
+    # bloom off: this entry exercises time-travel/vacuum/expiry, never
+    # a point probe — the per-commit Bloom maintenance jobs are pure
+    # wall overhead here (content_locate covers that surface)
+    cfg = IngestConfig(bloom_cols=())
     res1 = ingest_batch(spark, _batch(1), state, "2026-01", config=cfg)
     res2 = ingest_batch(spark, _batch(2), state, "2026-02", config=cfg)
     k1, k2 = res1.kept.count(), res2.kept.count()
