@@ -2134,6 +2134,102 @@ def _q_corpus_time_travel(spark, sf_dir):
     )
 
 
+def _q_takedown_delete(spark, sf_dir):
+    """Targeted copy-on-write deletion by content hash
+    (plans/ingest.py::delete_content — the Iceberg DELETE FROM / GDPR
+    takedown analog, and the write half of ``content_locate``): a
+    bounded single-batch ingest commits a multi-file corpus with its
+    Bloom manifest, then 3 committed hashes are deleted. The Bloom
+    manifest bounds the rewrite set at file granularity — only the
+    files that HOLD target rows are read and rewritten; the entry
+    certifies that (untouched files keep their exact path+size), that
+    every survivor row is bit-intact (content signature), that the
+    JSONL shards were purged, and that the dedup tombstone stands (the
+    seen table still carries the deleted hashes, so the content can
+    never re-enter). Rows-only (file-layout state; the oracle window is
+    full); crash-heal semantics are pinned in tests/test_ingest.py.
+    Output dir is per-process."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        CORPUS_SCHEMA,
+        SEEN_SCHEMA,
+        IngestConfig,
+        delete_content,
+        ingest_batch,
+        locate_content,
+    )
+    from docling_jobkit_spark.sinks.maintenance import (
+        _list_parquet_files,
+        content_signature,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 8 == 3)  # bounded single-batch commit
+        .select("doc_id", "source", "lang", "text")
+        .withColumn("url", _synth_url())
+        .select("doc_id", "url", "text")
+    )
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_takedown_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    # several corpus files (scale-adaptive) so "rewrites ONLY the
+    # affected files" is a real certificate, not vacuously true
+    per_file = max(8, int(base.count()) // 32)
+    res = ingest_batch(
+        spark, base, state, "2026-01",
+        config=IngestConfig(max_records_per_file=per_file),
+    )
+    cfiles = dict(_list_parquet_files(spark, f"{state}/corpus"))
+    first = sorted(cfiles)[0]
+    targets = [
+        r["content_hash"]
+        for r in spark.read.parquet(first).orderBy("doc_id").limit(3).collect()
+    ]
+    want_sig = content_signature(
+        res.kept.where(~F.col("content_hash").isin(targets)),
+        key_col="content_hash",
+    )
+    st = delete_content(spark, state, targets)
+    corpus = spark.read.schema(CORPUS_SCHEMA).parquet(
+        f"{state}/corpus/batch=2026-01"
+    )
+    survivors_ok = (
+        content_signature(corpus, key_col="content_hash") == want_sig
+    )
+    after = dict(_list_parquet_files(spark, f"{state}/corpus"))
+    untouched_ok = all(
+        after.get(p) == b for p, b in cfiles.items() if p != first
+    )
+    gone, _k, _t = locate_content(spark, state, targets)
+    shards = spark.read.schema(
+        "text string, url string, content_hash string"
+    ).json(f"{state}/shards/batch=2026-01")
+    tombstones = (
+        spark.read.schema(SEEN_SCHEMA)
+        .parquet(f"{state}/seen/batch=2026-01")
+        .where(F.col("content_hash").isin(targets))
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(st.n_docs_deleted).cast("long").alias("n_docs_deleted"),
+        F.lit(st.n_files_deleted).cast("long").alias("n_files_rewritten"),
+        F.lit(st.n_rows_rewritten).cast("long").alias("n_rows_moved"),
+        F.lit(bool(survivors_ok)).alias("survivors_bit_intact"),
+        F.lit(bool(untouched_ok)).alias("unaffected_files_untouched"),
+        F.lit(int(gone.count())).cast("long").alias("n_rows_after_delete"),
+        F.lit(
+            int(shards.where(F.col("content_hash").isin(targets)).count())
+        ).cast("long").alias("n_shard_rows_after_delete"),
+        F.lit(int(tombstones)).cast("long").alias("n_dedup_tombstones_kept"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2553,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_scan": _q_bloom_pruned_scan,
         "content_locate": _q_content_locate,
         "corpus_time_travel": _q_corpus_time_travel,
+        "takedown_delete": _q_takedown_delete,
     }
 
 

@@ -124,6 +124,7 @@ EXTRA_TIMED_QUERIES = [
     "bloom_pruned_scan",
     "content_locate",
     "corpus_time_travel",
+    "takedown_delete",
 ]
 
 

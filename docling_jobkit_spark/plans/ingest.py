@@ -85,7 +85,10 @@ from docling_jobkit_spark.operators.zonemap import (
     update_zonemap,
     write_zonemap,
 )
-from docling_jobkit_spark.sinks.maintenance import _list_parquet_files
+from docling_jobkit_spark.sinks.maintenance import (
+    _list_parquet_files,
+    content_signature,
+)
 from docling_jobkit_spark.plans.curation import (
     STAGES,
     CurationConfig,
@@ -758,16 +761,21 @@ def vacuum_ingest_state(
             deleted.append(st.getPath().toString())
 
     jvm = spark.sparkContext._jvm
-    for fs, st, _bid in _batch_dirs(f"{root}/corpus_compact"):
-        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-        if fs.exists(marker):
-            n_kept_recovery += 1  # certified heal copy — never vacuumed
-            continue
-        if st.getModificationTime() >= cutoff_ms:
-            continue
-        n_bytes += int(fs.getContentSummary(st.getPath()).getLength())
-        fs.delete(st.getPath(), True)
-        deleted.append(st.getPath().toString())
+    # same rule for every two-phase tmp family: compaction tmps plus the
+    # takedown tmps (corpus + shards) — an INCOMPLETE tmp is debris (its
+    # writer restarts from source), a COMPLETE one is the certified heal
+    # copy delete_content / compact_ingest_batch recover from
+    for family in ("corpus_compact", "corpus_takedown", "shards_takedown"):
+        for fs, st, _bid in _batch_dirs(f"{root}/{family}"):
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                n_kept_recovery += 1  # certified heal copy — never vacuumed
+                continue
+            if st.getModificationTime() >= cutoff_ms:
+                continue
+            n_bytes += int(fs.getContentSummary(st.getPath()).getLength())
+            fs.delete(st.getPath(), True)
+            deleted.append(st.getPath().toString())
 
     return VacuumStats(
         n_dirs_deleted=len(deleted),
@@ -823,6 +831,339 @@ def locate_content(
         .withColumn("file", F.input_file_name())
     )
     return df, len(files), len(files)
+
+
+@dataclass(frozen=True)
+class DeleteContentStats:
+    n_docs_deleted: int  # corpus rows removed (content_hash is unique)
+    n_files_deleted: int  # corpus data files rewritten away
+    n_rows_rewritten: int  # survivor rows moved into replacement files
+    n_batches_rewritten: int
+    n_shard_batches_rewritten: int
+    healed: tuple[str, ...]  # batches finished from a prior torn call
+
+
+_TAKEDOWN_SCHEMA = CORPUS_SCHEMA + ", src_file string"
+_SHARD_SCHEMA = "text string, url string, content_hash string"
+
+
+def _drop_manifest_rows(spark: SparkSession, root: str, files: list[str]) -> None:
+    """Both pruning manifests stop referencing ``files`` BEFORE any file
+    is deleted (the expire ordering: the reverse leaves a window where a
+    pruned scan references deleted payload). Metadata-sized."""
+    zonemap_dir = f"{root}/zonemap"
+    if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
+        zm = read_zonemap(spark, zonemap_dir)
+        keep = zm.where(~F.col("file").isin(files))
+        if keep.count() < zm.count():
+            write_zonemap(keep.localCheckpoint(eager=True), zonemap_dir)
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        bi = read_bloom_index(spark, bloom_dir)
+        bkeep = bi.where(~F.col("file").isin(files))
+        if bkeep.count() < bi.count():
+            write_bloom_index(bkeep.localCheckpoint(eager=True), bloom_dir)
+
+
+def _reconcile_manifests(spark: SparkSession, root: str) -> None:
+    """Standard incremental reconciliation after a layout change: stale
+    rows drop, unseen files get footer-statted (O(new files)). Indexed
+    columns are read off each manifest itself."""
+    corpus_root = f"{root}/corpus"
+    zonemap_dir = f"{root}/zonemap"
+    if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
+        zm_prev = read_zonemap(spark, zonemap_dir)
+        zcols = sorted(
+            r["col"] for r in zm_prev.select("col").distinct().collect()
+        ) or ["n_chars"]
+        zm, _n, _d = update_zonemap(spark, corpus_root, zm_prev, zcols)
+        write_zonemap(zm.localCheckpoint(eager=True), zonemap_dir)
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        bi_prev = read_bloom_index(spark, bloom_dir)
+        bcols = sorted(
+            r["column"] for r in bi_prev.select("column").distinct().collect()
+        )
+        if bcols:
+            bi, _bn, _bd = update_bloom_index(spark, corpus_root, bi_prev, bcols)
+            write_bloom_index(bi.localCheckpoint(eager=True), bloom_dir)
+
+
+def _apply_takedown_tmp(
+    spark: SparkSession, root: str, batch_id: str, tmp_dir: str
+) -> tuple[int, int]:
+    """Apply a CERTIFIED takedown tmp to its batch dir and delete the
+    tmp. The tmp is self-describing — survivor rows plus one sentinel
+    row per affected source file (``src_file``; sentinels carry the
+    files whose every row was deleted) — so a heal needs nothing beyond
+    the tmp itself. Every step is idempotent:
+
+        1. drop manifest rows for the affected files (expire ordering)
+        2. delete the affected files (skip already-gone)
+        3. append the survivors NOT already present — content_hash is
+           unique corpus-wide (within-batch exact dedup + history_exact
+           guarantee it), so presence is exact membership and a torn
+           append can never double a row
+        4. reconcile manifests (replacement files get statted)
+        5. certify: every survivor present, none duplicated; then drop
+           the tmp (the takedown is fully applied)
+
+    Returns (n_files_deleted, n_rows_appended)."""
+    corpus_root = f"{root}/corpus"
+    batch_dir = f"{corpus_root}/batch={batch_id}"
+    if not _exists(spark, batch_dir):
+        # the batch's payload was expired wholesale after this tmp was
+        # written — a strictly stronger delete already happened; the
+        # manifests dropped the batch's rows at expire time
+        fs, jt = _fs(spark, tmp_dir)
+        fs.delete(jt, True)
+        return 0, 0
+    tmp = spark.read.schema(_TAKEDOWN_SCHEMA).parquet(tmp_dir)
+    affected = sorted(
+        r["src_file"] for r in tmp.select("src_file").distinct().collect()
+    )
+    _drop_manifest_rows(spark, root, affected)
+    n_del = 0
+    for p in affected:
+        fs, jp = _fs(spark, p)
+        if fs.exists(jp):
+            fs.delete(jp, False)
+            n_del += 1
+    survivors = tmp.where(F.col("content_hash").isNotNull()).select(
+        "doc_id", "url", "text", "content_hash", "n_chars"
+    )
+    current = spark.read.schema(CORPUS_SCHEMA).parquet(batch_dir)
+    # materialize before the self-append: the anti-join must evaluate
+    # against the PRE-append file listing exactly once
+    missing = survivors.join(
+        current.select("content_hash"), on="content_hash", how="left_anti"
+    ).localCheckpoint(eager=True)
+    n_add = missing.count()
+    if n_add:
+        missing.select(
+            "doc_id", "url", "text", "content_hash", "n_chars"
+        ).write.mode("append").parquet(batch_dir)
+    _reconcile_manifests(spark, root)
+    got = spark.read.schema(CORPUS_SCHEMA).parquet(batch_dir)
+    n_lost = survivors.join(
+        got.select("content_hash"), on="content_hash", how="left_anti"
+    ).count()
+    n_dup = (
+        got.groupBy("content_hash").count().where(F.col("count") > 1).count()
+    )
+    if n_lost or n_dup:
+        raise RuntimeError(
+            f"takedown apply certificate failed for batch {batch_id!r}: "
+            f"{n_lost} survivors lost, {n_dup} duplicated hashes "
+            f"(certified tmp kept at {tmp_dir})"
+        )
+    fs, jt = _fs(spark, tmp_dir)
+    fs.delete(jt, True)
+    return n_del, n_add
+
+
+def _apply_shard_tmp(
+    spark: SparkSession, root: str, batch_id: str, tmp_dir: str
+) -> None:
+    """Copy-back a certified shard tmp over the real shard dir. The tmp
+    is only deleted after the rewritten dir's content signature matches,
+    so a torn overwrite heals by re-entering here."""
+    sdir = f"{root}/shards/batch={batch_id}"
+    tmp = spark.read.schema(_SHARD_SCHEMA).json(tmp_dir)
+    want = content_signature(tmp, key_col="content_hash")
+    write_training_shards(
+        tmp, sdir, text_col="text", meta_cols=("url", "content_hash")
+    )
+    got = spark.read.schema(_SHARD_SCHEMA).json(sdir)
+    if content_signature(got, key_col="content_hash") != want:
+        raise RuntimeError(
+            f"shard takedown copy-back signature mismatch for batch "
+            f"{batch_id!r} (certified tmp kept at {tmp_dir})"
+        )
+    fs, jt = _fs(spark, tmp_dir)
+    fs.delete(jt, True)
+
+
+def delete_content(
+    spark: SparkSession,
+    state_dir: str,
+    hashes: list[str],
+    purge_shards: bool = True,
+) -> DeleteContentStats:
+    """Targeted copy-on-write deletion by content hash — the Iceberg
+    ``DELETE FROM`` / GDPR-takedown analog for the ingest layout, and
+    the op ``locate_content`` is the read half of. Unlike
+    ``expire_batch_payload`` (drops whole old batches, history stays
+    reconstructible until then), takedown REWRITES HISTORY: the content
+    is removed from every committed batch in place, so time-travel reads
+    after a takedown see the post-takedown corpus at every version —
+    exactly what a legal erasure requires.
+
+    100 TB shape: the Bloom manifest bounds the write set at file
+    granularity — ``locate_content`` opens only the survivor files, and
+    only the files that actually HOLD target rows are rewritten (a
+    10^6-file corpus rewrites a handful; untouched files are never read
+    or written). Per affected batch, the protocol is a certified
+    self-describing tmp (``corpus_takedown/batch=<id>``: survivor rows
+    + one sentinel row per affected file) applied by
+    ``_apply_takedown_tmp`` — object-store-safe (no rename), idempotent
+    at every step, and healed on entry: any complete tmp left by a torn
+    prior call is finished FIRST, using nothing but the tmp itself.
+
+    Dedup memory is deliberately KEPT: the deleted content's hash stays
+    in the ``seen`` table and its bands stay in the MinHash index, so
+    the content can never re-enter the corpus through a later crawl — a
+    takedown tombstone (pinned in tests). Shard purge (``purge_shards``)
+    rewrites the affected batches' JSONL shards batch-granularly
+    (count+signature certified, two-phase through
+    ``shards_takedown/batch=<id>``); a crash between the corpus apply
+    and the shard rewrite is completed by RETRYING the takedown with the
+    same hashes (the corpus half no-ops, the shard half still sees the
+    targets).
+
+    Reference parity: docling-jobkit's result stores are immutable
+    caches with no erasure path (``docling_jobkit/connectors``) — this
+    completes the corpus lifecycle the reference leaves to operators.
+    Returns stats; raises if any target row survives the apply."""
+    if not hashes:
+        raise ValueError("hashes must be non-empty")
+    targets = sorted({str(h) for h in hashes})
+    root = state_dir.rstrip("/")
+    tk_root = f"{root}/corpus_takedown"
+    sh_tk_root = f"{root}/shards_takedown"
+    healed: list[str] = []
+    n_files_deleted = 0
+    n_rows_rewritten = 0
+    batches: set[str] = set()
+    n_shards = 0
+
+    # -- heal: finish any certified tmp a torn prior call left ---------
+    for bid, d in sorted(_committed_batch_dirs(spark, tk_root).items()):
+        nd, nr = _apply_takedown_tmp(spark, root, bid, d)
+        n_files_deleted += nd
+        n_rows_rewritten += nr
+        healed.append(bid)
+        batches.add(bid)
+    for bid, d in sorted(_committed_batch_dirs(spark, sh_tk_root).items()):
+        _apply_shard_tmp(spark, root, bid, d)
+        n_shards += 1
+        if bid not in healed:
+            healed.append(bid)
+
+    # -- locate current targets (Bloom-bounded file set) ---------------
+    located, _k, _t = locate_content(spark, root, targets)
+    # materialize before the deletes below invalidate the file listing
+    hits = located.select("content_hash", "file").localCheckpoint(eager=True)
+    rows = hits.collect()  # bounded: <= len(targets) rows (hash-unique)
+    n_docs = len(rows)
+    by_batch: dict[str, set[str]] = {}
+    for r in rows:
+        m = re.search(r"/batch=([A-Za-z0-9._-]+)/", r["file"])
+        if not m:
+            raise ValueError(
+                f"corpus file outside a batch dir: {r['file']!r} — "
+                "refusing to rewrite an unrecognized layout"
+            )
+        by_batch.setdefault(m.group(1), set()).add(r["file"])
+
+    # -- per affected batch: write the certified tmp, then apply -------
+    for bid in sorted(by_batch):
+        affected = sorted(by_batch[bid])
+        tmp_dir = f"{tk_root}/batch={bid}"
+        src = (
+            spark.read.schema(CORPUS_SCHEMA)
+            .parquet(*affected)
+            .withColumn("src_file", F.input_file_name())
+        )
+        survivors_src = src.where(~F.col("content_hash").isin(targets))
+        want = content_signature(survivors_src, key_col="content_hash")
+        # sentinels make the tmp self-describing even for files whose
+        # every row is deleted; bounded literal dim via range+explode
+        # (repo invariant: never createDataFrame(list))
+        sentinels = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(None).cast("bigint").alias("doc_id"),
+                                F.lit(None).cast("string").alias("url"),
+                                F.lit(None).cast("string").alias("text"),
+                                F.lit(None).cast("string").alias(
+                                    "content_hash"
+                                ),
+                                F.lit(None).cast("bigint").alias("n_chars"),
+                                F.lit(p).alias("src_file"),
+                            )
+                            for p in affected
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        survivors_src.select(
+            "doc_id", "url", "text", "content_hash", "n_chars", "src_file"
+        ).unionByName(sentinels).write.mode("overwrite").parquet(tmp_dir)
+        got = (
+            spark.read.schema(_TAKEDOWN_SCHEMA)
+            .parquet(tmp_dir)
+            .where(F.col("content_hash").isNotNull())
+        )
+        if content_signature(got, key_col="content_hash") != want:
+            raise RuntimeError(
+                f"takedown tmp signature mismatch for batch {bid!r}; "
+                f"source files untouched"
+            )
+        nd, nr = _apply_takedown_tmp(spark, root, bid, tmp_dir)
+        n_files_deleted += nd
+        n_rows_rewritten += nr
+        batches.add(bid)
+
+    # -- shard purge (batch-granular; shards carry content_hash) -------
+    if purge_shards:
+        for bid in sorted(by_batch):
+            sdir = f"{root}/shards/batch={bid}"
+            if not _exists(spark, sdir):
+                continue
+            cur = spark.read.schema(_SHARD_SCHEMA).json(sdir)
+            n_before = cur.count()
+            n_hit = cur.where(F.col("content_hash").isin(targets)).count()
+            if n_hit == 0:
+                continue
+            tmp_dir = f"{sh_tk_root}/batch={bid}"
+            write_training_shards(
+                cur.where(~F.col("content_hash").isin(targets)),
+                tmp_dir,
+                text_col="text",
+                meta_cols=("url", "content_hash"),
+            )
+            n_tmp = spark.read.schema(_SHARD_SCHEMA).json(tmp_dir).count()
+            if n_tmp != n_before - n_hit:
+                raise RuntimeError(
+                    f"shard takedown tmp row count mismatch for batch "
+                    f"{bid!r} ({n_tmp} != {n_before} - {n_hit}); real "
+                    f"shards untouched"
+                )
+            _apply_shard_tmp(spark, root, bid, tmp_dir)
+            n_shards += 1
+
+    # -- final certificate: no target row anywhere in the corpus -------
+    after, _k2, _t2 = locate_content(spark, root, targets)
+    n_left = after.count()
+    if n_left:
+        raise RuntimeError(
+            f"takedown incomplete: {n_left} target rows still present"
+        )
+    return DeleteContentStats(
+        n_docs_deleted=n_docs,
+        n_files_deleted=n_files_deleted,
+        n_rows_rewritten=n_rows_rewritten,
+        n_batches_rewritten=len(batches),
+        n_shard_batches_rewritten=n_shards,
+        healed=tuple(sorted(set(healed))),
+    )
 
 
 def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -670,3 +670,266 @@ def test_bloom_disabled_falls_back_to_full_scan(spark, sf_dir, tmp_path):
     df, kept, total = locate_content(spark, root, [probe["content_hash"]])
     assert kept == total > 0
     assert any(r["doc_id"] == probe["doc_id"] for r in df.collect())
+
+
+# -- takedown deletion (delete_content) -------------------------------
+
+
+def _takedown_state(spark, sf_dir, tmp_path, n_files_min=3):
+    """One committed batch split across several small corpus files so
+    file-granular rewrite is observable."""
+    root = str(tmp_path / "state")
+    a, _ = _batch_a(spark, sf_dir)
+    per_file = max(2, int(a.count()) // 8)
+    cfg = IngestConfig(
+        curation=CurationConfig(), tau=0.8, max_records_per_file=per_file
+    )
+    res = ingest_batch(spark, a, root, "2026-01", config=cfg)
+    return root, cfg, res
+
+
+def test_delete_content_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """The full takedown contract on one committed batch: targets gone
+    everywhere (corpus + shards + manifests), every other row
+    bit-intact, UNAFFECTED files never rewritten, dedup memory kept as
+    a tombstone that blocks re-ingestion of the same content."""
+    from docling_jobkit_spark.plans.ingest import (
+        CORPUS_SCHEMA,
+        delete_content,
+        locate_content,
+    )
+    from docling_jobkit_spark.operators.zonemap import read_zonemap
+    from docling_jobkit_spark.sinks.maintenance import (
+        _list_parquet_files,
+        content_signature,
+    )
+
+    root, cfg, res = _takedown_state(spark, sf_dir, tmp_path)
+    files_before = dict(_list_parquet_files(spark, f"{root}/corpus"))
+    assert len(files_before) >= 3, "need several files for the certificate"
+
+    # two targets that live in ONE file, so exactly one file rewrites
+    first = sorted(files_before)[0]
+    targets = [
+        r["content_hash"]
+        for r in spark.read.parquet(first).orderBy("doc_id").limit(2).collect()
+    ]
+    kept_before = res.kept.localCheckpoint(eager=True)  # pre-delete listing
+    survivors_sig = content_signature(
+        kept_before.where(~F.col("content_hash").isin(targets)),
+        key_col="content_hash",
+    )
+    deleted_texts = kept_before.where(
+        F.col("content_hash").isin(targets)
+    ).select("text").localCheckpoint(eager=True)
+    n_shards_before = spark.read.json(f"{root}/shards/batch=2026-01").count()
+
+    # absent-hash probe first: a no-op, nothing rewrites
+    st0 = delete_content(spark, root, ["0" * 64])
+    assert st0.n_docs_deleted == 0 and st0.n_batches_rewritten == 0
+    assert dict(_list_parquet_files(spark, f"{root}/corpus")) == files_before
+
+    st = delete_content(spark, root, targets)
+    assert st.n_docs_deleted == 2
+    assert st.n_batches_rewritten == 1 and st.healed == ()
+    assert st.n_files_deleted == 1  # only the file holding the targets
+    assert st.n_shard_batches_rewritten == 1
+
+    # survivors bit-intact, targets gone (corpus, locate, shards)
+    corpus = spark.read.schema(CORPUS_SCHEMA).parquet(
+        f"{root}/corpus/batch=2026-01"
+    )
+    assert corpus.where(F.col("content_hash").isin(targets)).count() == 0
+    assert content_signature(corpus, key_col="content_hash") == survivors_sig
+    gone, _k, _t = locate_content(spark, root, targets)
+    assert gone.count() == 0
+    shards = spark.read.json(f"{root}/shards/batch=2026-01")
+    assert shards.where(F.col("content_hash").isin(targets)).count() == 0
+    assert shards.count() == n_shards_before - 2
+
+    # unaffected files untouched byte-for-byte (same path AND size)
+    files_after = dict(_list_parquet_files(spark, f"{root}/corpus"))
+    untouched = {p: b for p, b in files_before.items() if p != first}
+    assert all(files_after.get(p) == b for p, b in untouched.items())
+    assert first not in files_after
+
+    # manifests consistent: every referenced file exists, every data
+    # file referenced; a surviving doc still locates via the Bloom path
+    from docling_jobkit_spark.operators.zonemap import _canon
+
+    zm_files = {
+        r["file"] for r in read_zonemap(spark, f"{root}/zonemap")
+        .select("file").distinct().collect()
+    }
+    assert zm_files == {_canon(p) for p in files_after}
+    survivor_hash = corpus.orderBy("doc_id").limit(1).collect()[0][
+        "content_hash"
+    ]
+    hit, kept_n, total_n = locate_content(spark, root, [survivor_hash])
+    assert hit.count() == 1 and kept_n <= total_n
+
+    # tombstone: re-ingesting the deleted content drops at history_exact
+    re_batch = deleted_texts.withColumn(
+        "rid", F.monotonically_increasing_id()
+    ).select(
+        (F.col("rid") + 900_000).alias("doc_id"),
+        F.concat(F.lit("https://repost.example.org/"),
+                 F.col("rid").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    res2 = ingest_batch(spark, re_batch, root, "2026-02", config=cfg)
+    counts = _stage_counts(res2.ledger)
+    assert counts["history_exact"] == 2
+    assert res2.kept.count() == 0
+    gone2, _k2, _t2 = locate_content(spark, root, targets)
+    assert gone2.count() == 0
+
+
+def test_delete_content_heals_torn_apply(spark, sf_dir, tmp_path):
+    """Crash simulations around the certified tmp: (a) tmp written,
+    nothing applied; (b) tmp written, affected file already deleted;
+    (c) tmp written, survivors already appended. Each re-entry heals to
+    the same final state with no duplicated or lost rows."""
+    from docling_jobkit_spark.plans.ingest import (
+        CORPUS_SCHEMA,
+        _TAKEDOWN_SCHEMA,
+        delete_content,
+    )
+    from docling_jobkit_spark.sinks.maintenance import (
+        _list_parquet_files,
+        content_signature,
+    )
+
+    root, cfg, res = _takedown_state(spark, sf_dir, tmp_path)
+
+    def _plant_tmp(targets):
+        """Write exactly the certified tmp the fresh path would (the
+        executable spec of the tmp layout)."""
+        files = sorted(
+            p for p, _ in _list_parquet_files(spark, f"{root}/corpus")
+        )
+        src = (
+            spark.read.schema(CORPUS_SCHEMA)
+            .parquet(*files)
+            .withColumn("src_file", F.input_file_name())
+        )
+        hit_files = sorted(
+            r["src_file"]
+            for r in src.where(F.col("content_hash").isin(targets))
+            .select("src_file").distinct().collect()
+        )
+        aff = (
+            spark.read.schema(CORPUS_SCHEMA)
+            .parquet(*hit_files)
+            .withColumn("src_file", F.input_file_name())
+        )
+        sent = spark.range(1).select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(None).cast("bigint").alias("doc_id"),
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("content_hash"),
+                    F.lit(None).cast("bigint").alias("n_chars"),
+                    F.lit(p).alias("src_file"),
+                )
+                for p in hit_files
+            ])).alias("r")
+        ).select("r.*")
+        aff.where(~F.col("content_hash").isin(targets)).select(
+            "doc_id", "url", "text", "content_hash", "n_chars", "src_file"
+        ).unionByName(sent).write.mode("overwrite").parquet(
+            f"{root}/corpus_takedown/batch=2026-01"
+        )
+        return hit_files
+
+    def _pick_targets(n, seed_off):
+        return [
+            r["content_hash"]
+            for r in spark.read.schema(CORPUS_SCHEMA)
+            .parquet(f"{root}/corpus/batch=2026-01")
+            .orderBy("doc_id").offset(seed_off).limit(n).collect()
+        ]
+
+    def _sig():
+        return content_signature(
+            spark.read.schema(CORPUS_SCHEMA).parquet(
+                f"{root}/corpus/batch=2026-01"
+            ),
+            key_col="content_hash",
+        )
+
+    corpus_dir = f"{root}/corpus/batch=2026-01"
+
+    # (a) crash right after the tmp write: heal applies it fully
+    t_a = _pick_targets(1, 0)
+    _plant_tmp(t_a)
+    n_before = _sig()[0]
+    st = delete_content(spark, root, t_a)
+    assert st.healed == ("2026-01",)
+    got = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    assert got.where(F.col("content_hash").isin(t_a)).count() == 0
+    assert _sig()[0] == n_before - 1
+    assert got.groupBy("content_hash").count().where("count > 1").count() == 0
+
+    # (b) crash after the affected file was deleted: survivors only in tmp
+    t_b = _pick_targets(1, 3)
+    hit_files = _plant_tmp(t_b)
+    for p in hit_files:
+        from docling_jobkit_spark.plans.ingest import _fs
+
+        fs, jp = _fs(spark, p)
+        fs.delete(jp, False)
+    n_docs_b = _sig()[0]  # survivors of the deleted file are missing now
+    st = delete_content(spark, root, t_b)
+    assert st.healed == ("2026-01",)
+    got = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    assert got.where(F.col("content_hash").isin(t_b)).count() == 0
+    assert _sig()[0] > n_docs_b  # the tmp's survivors were restored
+    assert got.groupBy("content_hash").count().where("count > 1").count() == 0
+
+    # (c) crash after the append: re-entry must not double any row
+    t_c = _pick_targets(1, 6)
+    hit_files = _plant_tmp(t_c)
+    from docling_jobkit_spark.plans.ingest import _fs
+
+    for p in hit_files:
+        fs, jp = _fs(spark, p)
+        fs.delete(jp, False)
+    tmp = spark.read.schema(_TAKEDOWN_SCHEMA).parquet(
+        f"{root}/corpus_takedown/batch=2026-01"
+    )
+    tmp.where(F.col("content_hash").isNotNull()).select(
+        "doc_id", "url", "text", "content_hash", "n_chars"
+    ).write.mode("append").parquet(corpus_dir)
+    want_n = _sig()[0]
+    st = delete_content(spark, root, t_c)
+    assert st.healed == ("2026-01",)
+    got = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    assert got.where(F.col("content_hash").isin(t_c)).count() == 0
+    assert _sig()[0] == want_n  # nothing re-appended
+    assert got.groupBy("content_hash").count().where("count > 1").count() == 0
+
+
+def test_vacuum_keeps_certified_takedown_tmps(spark, tmp_path):
+    """Incomplete takedown tmps (corpus + shards) vacuum like
+    compaction debris; complete ones are heal copies and survive."""
+    import pathlib
+
+    from docling_jobkit_spark.plans.ingest import (
+        _exists,
+        vacuum_ingest_state,
+    )
+
+    root = str(tmp_path / "state")
+    bad = pathlib.Path(root) / "corpus_takedown" / "batch=x"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"\x00junk")
+    ok = pathlib.Path(root) / "shards_takedown" / "batch=y"
+    ok.mkdir(parents=True)
+    (ok / "part-00000.json.gz").write_bytes(b"\x00data")
+    (ok / "_SUCCESS").write_bytes(b"")
+
+    st = vacuum_ingest_state(spark, root, min_age_seconds=0)
+    assert st.n_dirs_deleted == 1 and not _exists(spark, str(bad))
+    assert st.n_kept_recovery == 1 and _exists(spark, str(ok))
