@@ -933,3 +933,42 @@ def test_vacuum_keeps_certified_takedown_tmps(spark, tmp_path):
     st = vacuum_ingest_state(spark, root, min_age_seconds=0)
     assert st.n_dirs_deleted == 1 and not _exists(spark, str(bad))
     assert st.n_kept_recovery == 1 and _exists(spark, str(ok))
+
+
+def test_delete_content_spans_batches(spark, sf_dir, tmp_path):
+    """Targets living in different committed batches rewrite each batch
+    independently in one call; every other row in both batches is
+    bit-intact."""
+    from docling_jobkit_spark.plans.ingest import (
+        CORPUS_SCHEMA,
+        delete_content,
+        locate_content,
+    )
+    from docling_jobkit_spark.sinks.maintenance import content_signature
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)
+    res_a = ingest_batch(spark, a, root, "2026-01", config=CFG)
+    res_b = ingest_batch(spark, fresh_b, root, "2026-02", config=CFG)
+
+    t_a = res_a.kept.orderBy("doc_id").limit(1).collect()[0]["content_hash"]
+    t_b = res_b.kept.orderBy("doc_id").limit(1).collect()[0]["content_hash"]
+    corpus_before = spark.read.schema(CORPUS_SCHEMA).parquet(
+        f"{root}/corpus/batch=2026-01", f"{root}/corpus/batch=2026-02"
+    )
+    want_sig = content_signature(
+        corpus_before.where(~F.col("content_hash").isin([t_a, t_b])),
+        key_col="content_hash",
+    )
+
+    st = delete_content(spark, root, [t_a, t_b])
+    assert st.n_docs_deleted == 2
+    assert st.n_batches_rewritten == 2
+    assert st.n_shard_batches_rewritten == 2
+
+    corpus_after = spark.read.schema(CORPUS_SCHEMA).parquet(
+        f"{root}/corpus/batch=2026-01", f"{root}/corpus/batch=2026-02"
+    )
+    assert content_signature(corpus_after, key_col="content_hash") == want_sig
+    gone, _k, _t = locate_content(spark, root, [t_a, t_b])
+    assert gone.count() == 0
