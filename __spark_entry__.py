@@ -2230,6 +2230,69 @@ def _q_takedown_delete(spark, sf_dir):
     )
 
 
+def _q_ingest_drift(spark, sf_dir):
+    """Cross-batch drift monitor (plans/ingest.py::ingest_drift_report)
+    — the gate a rolling crawl reads BEFORE trusting a snapshot: three
+    bounded batches commit (the third with truncated texts — a planted
+    parser regression), then the report compares each batch's log2
+    length histogram and funnel attrition vector with its predecessor
+    via total-variation distance (EXACT integer cross-product
+    numerators over the counts, one double division — DuckDB recomputes
+    it bit-for-bit in tests/test_ingest.py). Only (batch, n_chars) is
+    scanned for the histograms — document text never moves. The entry
+    certifies the benign batch stays under threshold and the planted
+    regression flags. Rows-only (file-layout state; the oracle window
+    is full). Output dir is per-process."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        ingest_batch,
+        ingest_drift_report,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    # scale-adaptive classes: ~1000+ docs per batch wherever possible
+    # (tiny batches make the benign histogram comparison pure noise),
+    # bounded at large sf so the entry stays a bounded loop
+    mod = 30 if docs.count() >= 30_000 else 3
+    classes = (5, 15, 25) if mod == 30 else (0, 1, 2)
+
+    def _batch(cls):
+        return (
+            docs.where(F.col("doc_id") % mod == cls)
+            .select("doc_id", "source", "lang", "text")
+            .withColumn("url", _synth_url())
+            .select("doc_id", "url", "text")
+        )
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_drift_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    cfg = IngestConfig(bloom_cols=())  # no point probes in this entry
+    ingest_batch(spark, _batch(classes[0]), state, "2026-01", config=cfg)
+    ingest_batch(spark, _batch(classes[1]), state, "2026-02", config=cfg)
+    drifted_in = _batch(classes[2]).withColumn(
+        "text", F.substring("text", 1, 200)
+    )
+    ingest_batch(spark, drifted_in, state, "2026-03", config=cfg)
+
+    rep = ingest_drift_report(spark, state).orderBy("batch_id").collect()
+    return spark.range(1).select(
+        F.lit(len(rep)).cast("long").alias("n_batches"),
+        F.lit(bool(rep[0]["prev_batch_id"] is None)).alias("first_has_no_prev"),
+        F.lit(float(rep[1]["length_tv"])).alias("benign_length_tv"),
+        F.lit(bool(not rep[1]["drifted"])).alias("benign_under_threshold"),
+        F.lit(float(rep[2]["length_tv"])).alias("regression_length_tv"),
+        F.lit(bool(rep[2]["drifted"])).alias("regression_flagged"),
+        F.lit(float(rep[2]["kept_rate"])).alias("regression_kept_rate"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2650,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_locate": _q_content_locate,
         "corpus_time_travel": _q_corpus_time_travel,
         "takedown_delete": _q_takedown_delete,
+        "ingest_drift": _q_ingest_drift,
     }
 
 

@@ -125,6 +125,7 @@ EXTRA_TIMED_QUERIES = [
     "content_locate",
     "corpus_time_travel",
     "takedown_delete",
+    "ingest_drift",
 ]
 
 

@@ -1166,6 +1166,238 @@ def delete_content(
     )
 
 
+def ingest_drift_report(
+    spark: SparkSession,
+    state_dir: str,
+    n_buckets: int = 16,
+    tv_threshold: float = 0.25,
+    kept_rate_jump: float = 0.2,
+) -> DataFrame:
+    """Cross-batch drift monitor — one row per committed batch (id
+    order) comparing it with the PREVIOUS committed batch:
+
+        length_tv — total-variation distance between the two batches'
+            log2 doc-length histograms (``0.5 * sum |p_i - q_i|``;
+            numerators are EXACT integer cross-products over the raw
+            counts — decimal(38,0), overflow-raising under ANSI — with
+            one final double division, so any engine reproduces it
+            bit-for-bit from the same counts)
+        stage_tv — TV distance between the two batches' attrition
+            vectors from the funnel ledgers (per-stage drop share plus
+            the kept share, so the vector sums to 1), same arithmetic
+        kept_rate — docs_kept / docs_in from the ledger
+        drifted — length_tv > tv_threshold OR |kept_rate − prev
+            kept_rate| > kept_rate_jump (first batch: false, no prev)
+
+    This is the gate a rolling crawl reads BEFORE trusting a snapshot:
+    a parser regression shifts the length histogram, a spam wave shifts
+    where documents die in the funnel, a crawler outage craters
+    kept_rate — all three show up here while the bad batch is one
+    ``expire_batch_payload`` away from reclaim.
+
+    Scale shape: ONE column-pruned scan of (batch, n_chars) — document
+    text never moves — into (batch, bucket)-narrow aggregates (≤
+    ``n_buckets`` rows per batch), then all pairing happens on the
+    metadata-sized batch dimension. Ledger reads are 10 rows per batch.
+    A batch whose payload was expired reports from its ledger alone
+    (``length_tv`` null — dedup memory outlives payload, histograms
+    don't).
+
+    Reference parity: the reference exposes per-job counters only
+    (``docling_jobkit/convert/results.py`` status counts); cross-run
+    distribution drift is left to operators — this closes that gap
+    relationally."""
+    root = state_dir.rstrip("/")
+    committed = _committed_batch_dirs(spark, f"{root}/ledger")
+    batch_ids = sorted(committed)
+    out_schema = (
+        "batch_id string, prev_batch_id string, docs_in bigint, "
+        "docs_kept bigint, kept_rate double, length_tv double, "
+        "stage_tv double, drifted boolean"
+    )
+    if not batch_ids:
+        pairs_t = [p.strip().rsplit(" ", 1) for p in out_schema.split(",")]
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(c) for c, t in pairs_t]
+        )
+
+    # -- ledger vectors: per-stage drop share + kept share -------------
+    led = (
+        spark.read.option("basePath", f"{root}/ledger")
+        .parquet(*[f"{root}/ledger/batch={b}" for b in batch_ids])
+        .withColumn("batch", F.col("batch").cast("string"))
+    )
+    totals = led.groupBy("batch").agg(
+        F.min(F.struct("stage_order", "docs_in"))["docs_in"].alias("docs_in"),
+        F.max(F.struct("stage_order", "docs_kept"))["docs_kept"].alias(
+            "docs_kept"
+        ),
+    )
+    # attrition vector components: one per stage, plus "kept" — shares
+    # of docs_in, so the vector sums to exactly 1 per batch
+    drops = led.select(
+        "batch", "stage", F.col("docs_dropped").cast("decimal(38,0)").alias("c")
+    ).unionByName(
+        totals.select(
+            "batch",
+            F.lit("__kept__").alias("stage"),
+            F.col("docs_kept").cast("decimal(38,0)").alias("c"),
+        )
+    )
+
+    # -- length histograms (column-pruned; text never read) ------------
+    live = [b for b in batch_ids if _exists(spark, f"{root}/corpus/batch={b}")]
+    if live:
+        hist = (
+            spark.read.option("basePath", f"{root}/corpus")
+            .schema(CORPUS_SCHEMA)
+            .parquet(*[f"{root}/corpus/batch={b}" for b in live])
+            .select(
+                F.col("batch").cast("string").alias("batch"),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(F.log2(F.col("n_chars") + F.lit(1))),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            .groupBy("batch", "bucket")
+            .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+        )
+        htot = hist.groupBy("batch").agg(F.sum("c").alias("t"))
+    else:
+        hist = htot = None
+
+    # -- adjacent-batch pairing (bounded literal dim) -------------------
+    pairs = [
+        (b, batch_ids[i - 1] if i else None)
+        for i, b in enumerate(batch_ids)
+    ]
+    pair_dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("batch_id"),
+                            F.lit(p).cast("string").alias("prev_batch_id"),
+                        )
+                        for b, p in pairs
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+    def _tv(values: DataFrame, dim_col: str, dim_expr) -> DataFrame:
+        """TV distance per (batch_id, prev_batch_id) pair over the
+        ``dim_col`` dimension: exact integer numerator, one double
+        division. ``dim_expr`` (an array Column, exploded per pair)
+        enumerates the full dimension so components present on only one
+        side still count. Pairs where either side has no rows at all
+        (expired payload, or an all-dropped batch with zero docs) drop
+        out — their metric is honestly null, not a comparison against
+        an empty histogram (and no ANSI divide-by-zero)."""
+        tot = values.groupBy("batch").agg(F.sum("c").alias("t")).where(
+            F.col("t") > 0
+        )
+        grid = pair_dim.where(F.col("prev_batch_id").isNotNull()).select(
+            "batch_id",
+            "prev_batch_id",
+            F.explode(dim_expr).alias(dim_col),
+        )
+        cur = values.withColumnsRenamed({"batch": "batch_id"})
+        prv = values.withColumnsRenamed(
+            {"batch": "prev_batch_id", "c": "c_prev"}
+        )
+        zero = F.lit(0).cast("decimal(38,0)")
+        j = (
+            grid.join(cur, on=["batch_id", dim_col], how="left")
+            .join(prv, on=["prev_batch_id", dim_col], how="left")
+            .join(tot.withColumnsRenamed({"batch": "batch_id"}), "batch_id")
+            .join(
+                tot.withColumnsRenamed(
+                    {"batch": "prev_batch_id", "t": "t_prev"}
+                ),
+                "prev_batch_id",
+            )
+            .select(
+                "batch_id",
+                F.abs(
+                    F.coalesce(F.col("c"), zero) * F.col("t_prev")
+                    - F.coalesce(F.col("c_prev"), zero) * F.col("t")
+                ).alias("num"),
+                (F.col("t") * F.col("t_prev")).alias("den"),
+            )
+        )
+        return j.groupBy("batch_id").agg(
+            (
+                F.sum("num").cast("double")
+                / (F.lit(2.0) * F.max("den").cast("double"))
+            ).alias("tv")
+        )
+
+    stage_tv = _tv(
+        drops,
+        "stage",
+        F.array(*[F.lit(s) for s in (*INGEST_STAGES, "__kept__")]),
+    ).withColumnsRenamed({"tv": "stage_tv"})
+    if hist is not None:
+        length_tv = _tv(
+            hist,
+            "bucket",
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        ).withColumnsRenamed({"tv": "length_tv"})
+    else:
+        length_tv = spark.range(0).select(
+            F.lit("").alias("batch_id"),
+            F.lit(0.0).alias("length_tv"),
+        )
+
+    rep = (
+        pair_dim.join(
+            totals.withColumnsRenamed({"batch": "batch_id"}), "batch_id"
+        )
+        .withColumn(
+            "kept_rate",
+            F.when(
+                F.col("docs_in") > 0,
+                F.col("docs_kept").cast("double")
+                / F.col("docs_in").cast("double"),
+            ),
+        )
+        .join(length_tv, "batch_id", "left")
+        .join(stage_tv, "batch_id", "left")
+    )
+    prev_rate = rep.select(
+        F.col("batch_id").alias("prev_batch_id"),
+        F.col("kept_rate").alias("_prev_rate"),
+    )
+    rep = rep.join(prev_rate, "prev_batch_id", "left").withColumn(
+        "drifted",
+        F.coalesce(
+            (F.col("length_tv") > F.lit(float(tv_threshold)))
+            | (
+                F.abs(F.col("kept_rate") - F.col("_prev_rate"))
+                > F.lit(float(kept_rate_jump))
+            ),
+            F.lit(False),
+        ),
+    )
+    return rep.select(
+        "batch_id",
+        "prev_batch_id",
+        "docs_in",
+        "docs_kept",
+        "kept_rate",
+        "length_tv",
+        "stage_tv",
+        "drifted",
+    ).orderBy("batch_id")
+
+
 def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
     """One row per COMMITTED batch — the Iceberg ``snapshots``/``files``
     analog for the ingest layout, feeding retention and compaction

@@ -972,3 +972,85 @@ def test_delete_content_spans_batches(spark, sf_dir, tmp_path):
     assert content_signature(corpus_after, key_col="content_hash") == want_sig
     gone, _k, _t = locate_content(spark, root, [t_a, t_b])
     assert gone.count() == 0
+
+
+def test_ingest_drift_report_flags_planted_drift(spark, sf_dir, tmp_path):
+    """Three batches, the third with truncated texts: the report flags
+    exactly it; the TV arithmetic is EXACT — DuckDB recomputes
+    length_tv from the same corpus parquet bit-for-bit (integer
+    cross-product numerators, one double division)."""
+    import duckdb
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        ingest_batch,
+        ingest_drift_report,
+    )
+
+    root = str(tmp_path / "state")
+    a, fresh_b = _batch_a(spark, sf_dir)  # a = %3!=0, fresh_b = %3==0
+    b1 = a.where(F.col("doc_id") % 3 == 1)
+    b2 = a.where(F.col("doc_id") % 3 == 2)
+    b3 = fresh_b.withColumn("text", F.substring("text", 1, 200))
+    cfg = IngestConfig(curation=CurationConfig(), bloom_cols=())
+    for bid, b in (("2026-01", b1), ("2026-02", b2), ("2026-03", b3)):
+        ingest_batch(spark, b, root, bid, config=cfg)
+
+    rep = ingest_drift_report(spark, root).orderBy("batch_id").collect()
+    assert [r["batch_id"] for r in rep] == ["2026-01", "2026-02", "2026-03"]
+    assert rep[0]["prev_batch_id"] is None
+    assert rep[0]["length_tv"] is None and rep[0]["stage_tv"] is None
+    assert not rep[0]["drifted"]
+    assert not rep[1]["drifted"], f"benign batch flagged: {rep[1]}"
+    assert rep[2]["drifted"] and rep[2]["length_tv"] > 0.25
+    # ledger arithmetic rides through exactly
+    for r in rep:
+        assert r["kept_rate"] == r["docs_kept"] / r["docs_in"]
+
+    # exact DuckDB twin of length_tv (same buckets, same integer
+    # numerators, same one double division)
+    twin = duckdb.sql(
+        f"""
+        WITH h AS (
+          SELECT batch,
+                 LEAST(15, CAST(FLOOR(LOG2(n_chars + 1)) AS INT)) AS bucket,
+                 COUNT(*)::HUGEINT AS c
+          FROM read_parquet('{root}/corpus/*/*.parquet', hive_partitioning=1)
+          GROUP BY 1, 2
+        ), t AS (SELECT batch, SUM(c)::HUGEINT AS t FROM h GROUP BY 1),
+        grid AS (
+          SELECT p.b, p.pb, r.range AS bucket
+          FROM (VALUES ('2026-02','2026-01'), ('2026-03','2026-02')) p(b, pb)
+          CROSS JOIN range(16) r
+        )
+        SELECT grid.b AS batch_id,
+               SUM(ABS(COALESCE(hc.c, 0) * tp.t
+                       - COALESCE(hp.c, 0) * tc.t))::DOUBLE
+                 / (2.0 * MAX(tc.t * tp.t)::DOUBLE) AS length_tv
+        FROM grid
+        LEFT JOIN h hc ON hc.batch = grid.b AND hc.bucket = grid.bucket
+        LEFT JOIN h hp ON hp.batch = grid.pb AND hp.bucket = grid.bucket
+        JOIN t tc ON tc.batch = grid.b
+        JOIN t tp ON tp.batch = grid.pb
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    got = {r["batch_id"]: r["length_tv"] for r in rep if r["length_tv"] is not None}
+    assert {b: pytest.approx(v, rel=1e-14) for b, v in got.items()} == dict(twin)
+
+    # expired payload: histogram comparisons touching the batch go
+    # honestly null; ledger-derived columns survive (dedup memory
+    # outlives payload, histograms don't)
+    from docling_jobkit_spark.plans.ingest import expire_batch_payload
+
+    expire_batch_payload(spark, root, "2026-02")
+    rep2 = {
+        r["batch_id"]: r
+        for r in ingest_drift_report(spark, root).collect()
+    }
+    assert rep2["2026-02"]["length_tv"] is None
+    assert rep2["2026-03"]["length_tv"] is None
+    assert rep2["2026-02"]["stage_tv"] is not None
+    assert rep2["2026-02"]["kept_rate"] == pytest.approx(
+        rep[1]["kept_rate"]
+    )
