@@ -2293,6 +2293,94 @@ def _q_ingest_drift(spark, sf_dir):
     )
 
 
+def _q_batch_rollback(spark, sf_dir):
+    """Drift-gate recovery loop (plans/ingest.py::rollback_batch — the
+    Iceberg rollback-to-snapshot analog, and the action
+    ``ingest_drift_report`` feeds): two bounded batches commit, the
+    second (the "flagged" snapshot) is rolled back — ONE marker delete
+    un-commits it, manifests stop referencing its files before any file
+    is deleted, and its dedup memory (seen hashes + MinHash index
+    delta) is FORGOTTEN, the contrast with expire (keeps memory) and
+    takedown (keeps tombstones) — then the SAME batch id re-ingests the
+    corrected snapshot fresh. Certifies: time-travel refuses the
+    rolled-back id, neither pruning manifest references a rolled-back
+    file, the re-ingest is fresh (not a replay), the re-committed
+    corpus is bit-identical (content signature), and a point lookup
+    works against the re-built Bloom manifest. Rows-only (file-layout
+    state; the oracle window is full); forgetting, non-latest refusal,
+    torn-rollback completion, and tmp purge are pinned in
+    tests/test_rollback.py. Output dir is per-process."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.operators.bloom_index import read_bloom_index
+    from docling_jobkit_spark.operators.zonemap import read_zonemap
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        ingest_batch,
+        locate_content,
+        read_corpus_asof,
+        rollback_batch,
+    )
+    from docling_jobkit_spark.sinks.maintenance import content_signature
+
+    def _batch(cls):
+        return (
+            _read(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 32 == cls)  # bounded batches
+            .select("doc_id", "source", "lang", "text")
+            .withColumn("url", _synth_url())
+            .select("doc_id", "url", "text")
+        )
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_rollback_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    cfg = IngestConfig()
+    ingest_batch(spark, _batch(5), state, "2026-01", config=cfg)
+    res2 = ingest_batch(spark, _batch(9), state, "2026-02", config=cfg)
+    want_sig = content_signature(res2.kept, key_col="content_hash")
+
+    st = rollback_batch(spark, state, "2026-02")
+    try:
+        read_corpus_asof(spark, state, "2026-02")
+        refused = False
+    except ValueError:
+        refused = True
+    zm_refs = (
+        read_zonemap(spark, f"{state}/zonemap")
+        .where(F.col("file").contains("/batch=2026-02/"))
+        .count()
+    )
+    bi_refs = (
+        read_bloom_index(spark, f"{state}/bloomidx")
+        .where(F.col("file").contains("/batch=2026-02/"))
+        .count()
+    )
+
+    res2b = ingest_batch(spark, _batch(9), state, "2026-02", config=cfg)
+    sig_equal = (
+        content_signature(res2b.kept, key_col="content_hash") == want_sig
+    )
+    probe = res2b.kept.select("content_hash").limit(1).collect()[0][0]
+    hits, kept_files, total_files = locate_content(spark, state, [probe])
+    return spark.range(1).select(
+        F.lit(st.n_dirs_deleted).cast("long").alias("n_dirs_rolled_back"),
+        F.lit(bool(st.was_committed)).alias("was_committed"),
+        F.lit(bool(refused)).alias("time_travel_refuses_rolled_back"),
+        F.lit(int(zm_refs + bi_refs)).cast("long").alias(
+            "manifest_refs_after_rollback"
+        ),
+        F.lit(bool(not res2b.replayed)).alias("reingest_is_fresh"),
+        F.lit(bool(sig_equal)).alias("recommit_bit_identical"),
+        F.lit(int(hits.count())).cast("long").alias("n_located_after_recommit"),
+        F.lit(bool(0 < kept_files <= total_files)).alias("locate_pruned"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2714,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_time_travel": _q_corpus_time_travel,
         "takedown_delete": _q_takedown_delete,
         "ingest_drift": _q_ingest_drift,
+        "batch_rollback": _q_batch_rollback,
     }
 
 

@@ -126,6 +126,7 @@ EXTRA_TIMED_QUERIES = [
     "corpus_time_travel",
     "takedown_delete",
     "ingest_drift",
+    "batch_rollback",
 ]
 
 

@@ -640,6 +640,130 @@ def expire_batch_payload(
     return ExpireBatchStats(batch_id, n_files, n_bytes, already)
 
 
+@dataclass(frozen=True)
+class RollbackStats:
+    batch_id: str
+    existed: bool  # False = no trace of the batch anywhere (pure no-op)
+    was_committed: bool  # marker stood on entry (False = torn-rollback retry)
+    n_dirs_deleted: int
+    bytes_reclaimed: int
+
+
+def rollback_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: str,
+    allow_non_latest: bool = False,
+) -> RollbackStats:
+    """Un-commit a batch — the exact inverse of ``ingest_batch`` and
+    the Iceberg rollback-to-snapshot analog for the ingest layout, and
+    the action the ``ingest_drift_report`` gate feeds: a flagged crawl
+    snapshot (parser regression, spam wave) is rolled back, the crawl
+    is fixed, and the SAME batch id re-ingests fresh.
+
+    Contrast the other two deletion ops: ``expire_batch_payload`` drops
+    storage but keeps the commit and all dedup memory; ``delete_content``
+    removes specific documents but leaves tombstones so they can never
+    re-enter. Rollback FORGETS: the batch's seen hashes and MinHash
+    index delta are deleted, so its content re-enters the corpus
+    cleanly on the next crawl — precisely what a re-ingest after a bad
+    snapshot requires (tombstoning a regression's output would block
+    the corrected re-crawl as a near-duplicate of garbage).
+
+    By default only the LATEST committed batch may roll back (later
+    batches' history-dedup decisions were made against this batch's
+    seen/index deltas; un-committing mid-history silently orphans those
+    drops — a doc dropped from batch B as a dup of A is lost from BOTH
+    if A alone disappears). Iceberg's rollback has the same shape: you
+    roll back TO a snapshot, discarding everything after. Pass
+    ``allow_non_latest=True`` for a surgical mid-history removal where
+    that orphaning is understood and acceptable.
+
+    Crash-safety ordering (every reader gates on the ledger marker):
+
+        1. delete ``ledger/batch=<id>/_SUCCESS`` — ONE file delete is
+           the whole un-commit: replay guard, history probes,
+           time-travel, reports, and vacuum all stop seeing the batch
+           at this instant
+        2. drop the batch's rows from BOTH pruning manifests (the
+           expire ordering — manifests stop referencing files before
+           any file is deleted)
+        3. delete every per-batch family dir (corpus / seen / index /
+           shards / ledger) AND every two-phase tmp for the batch
+           (``corpus_compact`` / ``corpus_takedown`` /
+           ``shards_takedown``) — tmps go even when CERTIFIED: a heal
+           copy for a batch that no longer exists would let a later
+           ``delete_content`` heal pass resurrect rolled-back payload
+
+    A crash after step 1 leaves ordinary uncommitted debris: retrying
+    the rollback completes it (``was_committed=False``), a replay of
+    ``ingest_batch`` overwrites it, and ``vacuum_ingest_state`` reclaims
+    it. All deletes are idempotent; calling again after completion
+    returns ``existed=False``.
+
+    Reference parity: docling-jobkit's result stores are append-only
+    caches with no un-commit (``docling_jobkit/connectors``) — rollback
+    completes the snapshot lifecycle alongside expire and takedown."""
+    if not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match {_BATCH_ID_RE.pattern}, got {batch_id!r}"
+        )
+    root = state_dir.rstrip("/")
+    committed = _committed_batch_dirs(spark, f"{root}/ledger")
+    was_committed = batch_id in committed
+    if was_committed and not allow_non_latest:
+        later = sorted(b for b in committed if b > batch_id)
+        if later:
+            raise ValueError(
+                f"batch {batch_id!r} is not the latest committed batch "
+                f"(later: {later}); their history-dedup decisions depend "
+                f"on it — pass allow_non_latest=True to roll back anyway"
+            )
+
+    # 1. the un-commit point: one marker delete, then the batch is
+    # invisible to every reader and the rest is debris cleanup
+    if was_committed:
+        fs, jm = _fs(spark, f"{root}/ledger/batch={batch_id}/_SUCCESS")
+        fs.delete(jm, False)
+
+    # 2. manifests first (expire ordering)
+    zonemap_dir = f"{root}/zonemap"
+    if _exists(spark, f"{zonemap_dir}/_SUCCESS"):
+        zm = read_zonemap(spark, zonemap_dir)
+        keep = zm.where(~F.col("file").contains(f"/batch={batch_id}/"))
+        if keep.count() < zm.count():
+            write_zonemap(keep.localCheckpoint(eager=True), zonemap_dir)
+    bloom_dir = f"{root}/bloomidx"
+    if _exists(spark, f"{bloom_dir}/_SUCCESS"):
+        bi = read_bloom_index(spark, bloom_dir)
+        bkeep = bi.where(~F.col("file").contains(f"/batch={batch_id}/"))
+        if bkeep.count() < bi.count():
+            write_bloom_index(bkeep.localCheckpoint(eager=True), bloom_dir)
+
+    # 3. every per-batch dir, families and tmps alike
+    existed = was_committed
+    n_dirs = 0
+    n_bytes = 0
+    for family in (
+        "corpus", "seen", "index", "shards", "ledger",
+        "corpus_compact", "corpus_takedown", "shards_takedown",
+    ):
+        path = f"{root}/{family}/batch={batch_id}"
+        if _exists(spark, path):
+            existed = True
+            fs, jpath = _fs(spark, path)
+            n_bytes += int(fs.getContentSummary(jpath).getLength())
+            fs.delete(jpath, True)
+            n_dirs += 1
+    return RollbackStats(
+        batch_id=batch_id,
+        existed=existed,
+        was_committed=was_committed,
+        n_dirs_deleted=n_dirs,
+        bytes_reclaimed=n_bytes,
+    )
+
+
 def read_corpus_asof(
     spark: SparkSession,
     state_dir: str,
