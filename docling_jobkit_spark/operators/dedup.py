@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from docling_jobkit_spark.functions.scalar import (
     content_hash,
+    lit_longs,
     stable_hash64,
     tokens,
 )
@@ -400,20 +401,17 @@ def minhash_signature_from_shingles(sh_col):
     # The naive form (64 × array_min(transform(base_hashes, perm_i))) makes
     # Catalyst re-evaluate the whole tokenize→shingle→sha256 chain per
     # permutation — 64× the work (measured: ~15× slower end to end).
-    consts = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"),
-                F.lit(c).cast("long").alias("c"),
-                F.lit(b).cast("long").alias("b"),
-            )
-            for a, c, b in _PERMS
-        ]
+    # ONE py4j round trip for the whole coefficient array: the
+    # column-API form (64 structs × 3 lit/cast/alias each) costs ~700
+    # gateway calls ≈ 0.8-2 s of pure driver latency PER CALL — the
+    # dominant fixed cost of every ingest commit (measured via cProfile;
+    # the parsed expression tree is value-identical, test-pinned)
+    consts = F.expr(
+        "array("
+        + ",".join(f"named_struct('a',{a}L,'c',{c}L,'b',{b}L)" for a, c, b in _PERMS)
+        + ")"
     )
-    init = F.transform(
-        F.sequence(F.lit(1), F.lit(N_HASHES)),
-        lambda _: F.lit((1 << 62)).cast("long"),
-    )
+    init = F.expr(f"array_repeat(cast({1 << 62} as bigint), {N_HASHES})")
     half_mask = F.lit(_HALF - 1).cast("long")
     return F.aggregate(
         base_hashes,
@@ -534,7 +532,7 @@ def simhash(text_col):
     )
     # bit masks as an array literal — shiftleft/right need static shift
     # amounts in the DataFrame API, masks don't
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    masks = lit_longs(1 << i for i in range(SIMHASH_BITS))
     # single pass: accumulate a 48-long sign-sum vector, then fold to bits
     sums = F.aggregate(
         hashes,

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from docling_jobkit_spark.functions.scalar import lit_doubles
+
 from docling_jobkit_spark.operators.similarity import (
     codebook_id,
     cosine_col,
@@ -167,10 +169,7 @@ def ivf_index_report(
         sim_arr = F.array(
             *[
                 F.round(
-                    cosine_col(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                    ),
+                    cosine_col(F.col(vec_col), lit_doubles(float(x) for x in c)),
                     6,
                 )
                 for c in centroids

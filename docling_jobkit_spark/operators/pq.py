@@ -40,6 +40,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docling_jobkit_spark.functions.scalar import lit_double_rows, lit_doubles
+
 
 def _sq_l2(a: list[float], b: list[float]) -> float:
     return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
@@ -123,11 +125,11 @@ def _subspace_code(v: Column, book: list[list[float]], mi: int, dsub: int) -> Co
     lowest code wins ties, matching the trainer and the oracle)."""
     ksub = len(book)
     sub = F.slice(v, mi * dsub + 1, dsub)
-    cent_rows = F.array(
-        *[
-            F.array(*[F.lit(float(book[k][d])) for k in range(ksub)])
-            for d in range(dsub)
-        ]
+    # one py4j round trip for the dsub x ksub literal matrix (the
+    # element-wise Column-API form costs a gateway call per entry —
+    # seconds per encode; functions/scalar.py::lit_double_rows)
+    cent_rows = lit_double_rows(
+        [[float(book[k][d]) for k in range(ksub)] for d in range(dsub)]
     )
     zeros = F.transform(F.sequence(F.lit(1), F.lit(ksub)), lambda _: F.lit(0.0))
     contribs = F.zip_with(
@@ -234,9 +236,7 @@ def pq_topk(
     _check_stamp(encoded, codebooks)
     encoded = spread_for_compute(encoded)
     lut = adc_lookup_table(query_vec, codebooks)
-    lut_rows = F.array(
-        *[F.array(*[F.lit(d) for d in row]) for row in lut]
-    )
+    lut_rows = lit_double_rows(lut)
     adc = F.round(
         F.aggregate(
             F.zip_with(
@@ -268,7 +268,7 @@ def pq_topk(
             .orderBy(F.col("adc_dist").asc(), F.col(id_col))
             .limit(k)
         )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(float(x) for x in query_vec)
     shortlist = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(
         max(rerank, k)
     )

@@ -58,6 +58,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from docling_jobkit_spark.functions.scalar import lit_doubles, lit_longs
+
 from docling_jobkit_spark.operators.dedup import spread_for_compute
 from docling_jobkit_spark.operators.similarity import cosine_col, ivf_assign
 
@@ -80,7 +82,7 @@ def with_semdedup_rank(
     v = F.col(vec_col)
     sim_arr = F.array(
         *[
-            F.round(cosine_col(v, F.array(*[F.lit(float(x)) for x in c])), 6)
+            F.round(cosine_col(v, lit_doubles(float(x) for x in c)), 6)
             for c in centroids
         ]
     )
@@ -125,7 +127,7 @@ def semantic_duplicates(
     slim = ranked.where(F.col("ivf_cell") >= 0).select(
         F.col("ivf_cell"), F.col(id_col), F.col(vec_col), F.col("sem_rank")
     )
-    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salts = lit_longs(range(n_salts))
     left = spread_for_compute(
         slim.select(
             F.col("ivf_cell"),

@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docling_jobkit_spark.functions.scalar import (
+    lit_double_rows,
+    lit_doubles,
+    lit_longs,
+)
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(
@@ -51,7 +57,7 @@ def brute_force_topk(
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
     df = spread_for_compute(df)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(float(x) for x in query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
@@ -213,11 +219,11 @@ def lsh_signature(vec_col, dim: int, n_bits: int = 12, table: int = 0) -> Column
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = [_hyperplane(table, b, dim) for b in range(n_bits)]
     # per element d: the length-n_bits row of plane coefficients
-    plane_rows = F.array(
-        *[
-            F.array(*[F.lit(float(planes[b][d])) for b in range(n_bits)])
-            for d in range(dim)
-        ]
+    # one py4j round trip for the dim x n_bits literal matrix (the
+    # element-wise form costs a gateway call per entry — pure driver
+    # latency; functions/scalar.py::lit_double_rows)
+    plane_rows = lit_double_rows(
+        [[float(planes[b][d]) for b in range(n_bits)] for d in range(dim)]
     )
     zeros = F.transform(
         F.sequence(F.lit(1), F.lit(n_bits)), lambda _: F.lit(0.0)
@@ -228,7 +234,7 @@ def lsh_signature(vec_col, dim: int, n_bits: int = 12, table: int = 0) -> Column
     sums = F.aggregate(
         contribs, zeros, lambda acc, c: F.zip_with(acc, c, lambda a, x: a + x)
     )
-    bit_values = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    bit_values = lit_longs(1 << b for b in range(n_bits))
     return F.aggregate(
         F.zip_with(
             sums,
@@ -260,7 +266,7 @@ def ivf_assign(
     v = F.col(vec_col)
     cos_arr = F.array(
         *[
-            F.round(cosine_col(v, F.array(*[F.lit(float(x)) for x in c])), 6)
+            F.round(cosine_col(v, lit_doubles(float(x) for x in c)), 6)
             for c in centroids
         ]
     )

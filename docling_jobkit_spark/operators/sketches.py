@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import tokens
+from docling_jobkit_spark.functions.scalar import lit_doubles, tokens
 
 # Flajolet et al. 2007 bias-correction constants.
 _ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
@@ -677,7 +677,7 @@ def logh_quantiles(
     # first — qualifying bucket; no argmin struct needed
     return (
         b.select(
-            "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+            "*", F.explode(lit_doubles(float(q) for q in qs)).alias("q")
         )
         .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")).cast("long"))
         .groupBy("q")
