@@ -918,3 +918,54 @@ def test_near_dup_clusters_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == expected
+
+
+def test_lit_array_helpers_bit_identical_to_column_api(spark):
+    """lit_doubles/lit_double_rows/lit_longs build the literal in ONE
+    expression parse (the Column-API form costs a py4j round trip per
+    element — seconds for PQ/LSH matrices). The parsed values must be
+    BIT-identical: repr() is the shortest round-trip decimal and Spark's
+    ...D literal parses correctly-rounded, so every double — denormals
+    and signed zeros included — survives exactly."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.functions.scalar import (
+        lit_double_rows,
+        lit_doubles,
+        lit_longs,
+    )
+
+    rng = random.Random(7)
+    vals = (
+        [rng.uniform(-1, 1) for _ in range(64)]
+        + [rng.uniform(-1e300, 1e300) for _ in range(32)]
+        + [rng.uniform(-1e-300, 1e-300) for _ in range(32)]
+        + [0.0, -0.0, 1e308, 5e-324, -5e-324]
+    )
+    longs = [rng.randrange(-(2**62), 2**62) for _ in range(64)] + [0, -1]
+    row = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("d_old"),
+        lit_doubles(vals).alias("d_new"),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in vals[i::8]]) for i in range(8)]
+        ).alias("m_old"),
+        lit_double_rows([vals[i::8] for i in range(8)]).alias("m_new"),
+        F.array(*[F.lit(v).cast("long") for v in longs]).alias("l_old"),
+        lit_longs(longs).alias("l_new"),
+    ).collect()[0]
+    bits = lambda xs: [struct.pack(">d", v) for v in xs]  # noqa: E731
+    assert bits(row["d_old"]) == bits(row["d_new"])
+    assert [bits(r) for r in row["m_old"]] == [bits(r) for r in row["m_new"]]
+    assert row["l_old"] == row["l_new"]
+    # empties keep the right element type
+    e = spark.range(1).select(
+        lit_doubles([]).alias("d"), lit_longs([]).alias("l")
+    )
+    assert dict(e.dtypes) == {"d": "array<double>", "l": "array<bigint>"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        lit_doubles([float("nan")])
