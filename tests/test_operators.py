@@ -969,3 +969,50 @@ def test_lit_array_helpers_bit_identical_to_column_api(spark):
 
     with _pytest.raises(ValueError, match="non-finite"):
         lit_doubles([float("nan")])
+
+
+def test_multimodal_feature_extraction_feeds_vector_family(spark):
+    """extract_features emits the embeddings-table contract (vec_id,
+    unit-norm embedding): deterministic, idempotent ids, and composable
+    with the ANN + IVF operators unchanged."""
+    import math
+
+    from docling_jobkit_spark.operators.multimodal import (
+        extract_features,
+        image_features,
+    )
+    from docling_jobkit_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    rows = [(f"m{i}", bytes([i]) * (40 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    feats = extract_features(df, dim=16)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 12
+    for mid, payload in rows:
+        r = got[mid]
+        # pure-python stub == the distributed path, element for element
+        assert r["embedding"] == pytest.approx(
+            image_features(payload, dim=16, fake=True), abs=1e-12
+        )
+        assert math.isclose(
+            sum(v * v for v in r["embedding"]), 1.0, rel_tol=1e-9
+        )
+        assert 0 < r["vec_id"] < (1 << 56)
+    # idempotent: re-extraction reproduces ids and vectors exactly
+    key = lambda r: (r["vec_id"], r["media_id"], tuple(r["embedding"]))  # noqa: E731
+    assert {key(r) for r in feats.collect()} == {key(r) for r in got.values()}
+    # composes with the vector family unchanged: each payload's own
+    # feature is its cosine-top-1, and IVF assigns every row to a cell
+    q = got["m3"]["embedding"]
+    top = brute_force_topk(feats, q, k=1).collect()[0]
+    assert top["vec_id"] == got["m3"]["vec_id"]
+    cents = kmeans_centroids(feats, k=2, n_iter=2, sample_n=12)
+    cells = ivf_assign(feats, cents).select("ivf_cell").distinct().collect()
+    assert all(r["ivf_cell"] >= 0 for r in cells)
+    # stub discipline: the real path refuses loudly
+    with pytest.raises(NotImplementedError):
+        image_features(b"x", fake=False)
