@@ -158,3 +158,20 @@ def lit_longs(vals) -> Column:
     if not xs:
         return F.expr("cast(array() as array<bigint>)")
     return F.expr("array(" + ",".join(f"{v}L" for v in xs) + ")")
+
+
+def lit_strings(vals) -> Column:
+    """``array<string>`` literal in ONE py4j round trip (see
+    ``lit_doubles``) — file lists for zone-map footer scans and other
+    driver-known string sets. Values are backslash-escaped for Spark's
+    default string-literal rules (bit-identity vs the Column-API form
+    pinned in tests, quotes/backslashes/newlines included)."""
+    xs = [str(v) for v in vals]
+    if not xs:
+        return F.expr("cast(array() as array<string>)")
+
+    def esc(s: str) -> str:
+        out = s.replace("\\", "\\\\").replace("'", "\\'")
+        return out.replace("\n", "\\n").replace("\r", "\\r").replace("\x00", "\\0")
+
+    return F.expr("array(" + ",".join(f"'{esc(s)}'" for s in xs) + ")")

@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from docling_jobkit_spark.functions.scalar import lit_strings
+
 ZONEMAP_SCHEMA = T.StructType(
     [
         T.StructField("file", T.StringType(), False),
@@ -176,7 +178,7 @@ def _zonemap_for_files(
     # a python worker per default-parallelism partition — CLAUDE.md)
     files_df = (
         spark.range(1)
-        .select(F.explode(F.array(*[F.lit(p) for p in files])).alias("file"))
+        .select(F.explode(lit_strings(files)).alias("file"))
         .repartition(min(len(files), 32), "file")
     )
 

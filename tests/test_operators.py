@@ -1016,3 +1016,27 @@ def test_multimodal_feature_extraction_feeds_vector_family(spark):
     # stub discipline: the real path refuses loudly
     with pytest.raises(NotImplementedError):
         image_features(b"x", fake=False)
+
+
+def test_lit_strings_bit_identical_and_escaped(spark):
+    from pyspark.sql import functions as F
+
+    from docling_jobkit_spark.functions.scalar import lit_strings
+
+    vals = [
+        "plain",
+        "file:///tmp/a b/part-0001.parquet",
+        "quote's",
+        "back\\slash",
+        "new\nline",
+        "tab\tand\rcr",
+        "unicode-é✓",
+        "",
+    ]
+    row = spark.range(1).select(
+        F.array(*[F.lit(v) for v in vals]).alias("o"),
+        lit_strings(vals).alias("n"),
+    ).collect()[0]
+    assert list(row["o"]) == list(row["n"]) == vals
+    e = spark.range(1).select(lit_strings([]).alias("s"))
+    assert dict(e.dtypes) == {"s": "array<string>"}
