@@ -322,9 +322,11 @@ def _q_ivf_pq_topk(spark, sf_dir):
         tempfile.gettempdir(),
         f"djs_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
     )
-    pq_encode(with_ivf_cells(emb, cents), books).write.mode(
-        "overwrite"
-    ).partitionBy("ivf_cell").parquet(out)
+    from docling_jobkit_spark.operators.ivf_index import _grouped_by_cell
+
+    _grouped_by_cell(
+        pq_encode(with_ivf_cells(emb, cents), books), "vec_id"
+    ).write.mode("overwrite").partitionBy("ivf_cell").parquet(out)
     back = spark.read.parquet(out)
     return ivf_pq_topk(
         back, _query_vec(spark, sf_dir), cents, books, k=10, n_probe=2, rerank=50

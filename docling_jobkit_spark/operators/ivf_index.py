@@ -78,6 +78,21 @@ def _stored_stamp(spark: SparkSession, path: str, vec_col: str) -> dict:
     return stamp
 
 
+def _grouped_by_cell(assigned: DataFrame, id_col: str) -> DataFrame:
+    """Group rows by cell before the dynamic-partition write: from p
+    input partitions the writer otherwise instantiates p × n_cells
+    parquet writers, and writer init dominates small-to-medium writes
+    (measured on the minhash index: 22.6 warm CPU-s at 512 files vs
+    3.3 grouped — file count, not data volume). Salting by hash(id)
+    keeps a hot cell from collapsing to a single task at corpus scale;
+    each task still holds ~one (cell, salt) group so file count tracks
+    the shuffle width."""
+    n = int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cells = F.col("ivf_cell")
+    salt = F.pmod(F.hash(id_col), F.lit(max(1, n // 16)))
+    return assigned.repartition(n, cells, salt)
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -88,7 +103,9 @@ def write_ivf_index(
     """Materialize assignments once and persist the partitioned layout
     (mode=overwrite — the initial build / full rebuild)."""
     assigned = with_ivf_cells(df.select(id_col, vec_col), centroids, vec_col)
-    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    _grouped_by_cell(assigned, id_col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
 
 
 def append_ivf_index(
@@ -112,7 +129,9 @@ def append_ivf_index(
             "geometries in the same cells; rebuild with write_ivf_index"
         )
     assigned = with_ivf_cells(df.select(id_col, vec_col), centroids, vec_col)
-    assigned.write.mode("append").partitionBy("ivf_cell").parquet(path)
+    _grouped_by_cell(assigned, id_col).write.mode("append").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:

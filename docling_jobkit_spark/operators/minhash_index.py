@@ -147,9 +147,23 @@ def write_minhash_index(
     dominant per-doc cost of the family. Must be this module's
     ``banded_signatures`` shape for the SAME family (it is re-stamped
     here, so a foreign frame would be mis-labeled: pass only frames
-    produced by this module in this process)."""
+    produced by this module in this process).
+
+    The rows are GROUPED BY BAND before the dynamic-partition write:
+    from p input partitions the writer otherwise instantiates p × 16
+    parquet writers (each band appears in every task), and writer init
+    — schema conversion, codec, column writers, footer — dominates the
+    write at 512 files (measured at sf0.1: 22.6 warm CPU-s vs 3.3
+    grouped; dropping the sig column barely moved it, so it is file
+    count, not data volume). The shuffle key is (band, hash(bucket) %
+    k) with k sized from shuffle.partitions — one band never collapses
+    to a single task at corpus scale, and each task holds ~one group
+    so file count tracks the shuffle width, not width × 16."""
     rows = banded if banded is not None else banded_signatures(df, text_col, id_col)
-    _stamped(rows).write.mode(mode).partitionBy("band").parquet(path)
+    n = int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salt = F.pmod(F.hash("bucket"), F.lit(max(1, n // BANDS)))
+    grouped = rows.repartition(n, F.col("band"), salt)
+    _stamped(grouped).write.mode(mode).partitionBy("band").parquet(path)
 
 
 def update_minhash_index(
