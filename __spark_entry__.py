@@ -2383,6 +2383,113 @@ def _q_batch_rollback(spark, sf_dir):
     )
 
 
+def _q_upsert_latest(spark, sf_dir):
+    """Upsert verb pair (plans/ingest.py::read_corpus_latest +
+    supersede_batch — the Iceberg ``MERGE INTO`` analog: merge-on-read
+    view + its copy-on-write materialization). Batch 1 commits; batch 2
+    re-crawls half of its urls with changed (word-reversed) content.
+    Certifies: the MOR view resolves every re-crawled url to batch 2
+    and never shows two batches for one url; superseding materializes
+    exactly that view (content-signature equality vs the post-rewrite
+    corpus); a second supersede no-ops; and a later re-post of the
+    superseded OLD content stays dropped (dedup memory KEPT — the
+    contrast with rollback, which forgets). Rows-only (file-layout
+    state; the oracle window is full); semantics + the broadcast-anti
+    payload plan are pinned in tests/test_supersede.py. Output dir is
+    per-process."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        ingest_batch,
+        read_corpus_asof,
+        read_corpus_latest,
+        supersede_batch,
+    )
+    from docling_jobkit_spark.sinks.maintenance import content_signature
+
+    def _batch(cls):
+        return (
+            _read(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 32 == cls)  # bounded batches
+            .select("doc_id", "source", "lang", "text")
+            .withColumn("url", _synth_url())
+            .select("doc_id", "url", "text")
+        )
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"djs_upsert_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh loop every call
+    cfg = IngestConfig()
+    res1 = ingest_batch(spark, _batch(3), state, "2026-01", config=cfg)
+    # ids are all ≡3 (mod 32) — every one odd, so a %2 split selects
+    # NOTHING (the parity trap CLAUDE.md documents); split on %64
+    rec = res1.kept.where(F.col("doc_id") % 64 == 3).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.col("url"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias(
+            "text"
+        ),
+    )
+    res2 = ingest_batch(
+        spark, _batch(7).unionByName(rec), state, "2026-02", config=cfg
+    )
+    rec_urls = res2.kept.where(F.col("doc_id") >= 900_000).select("url")
+    n_recrawled = rec_urls.count()
+
+    # every MOR fact is materialized BEFORE the rewrite invalidates
+    # batch-1 file listings (CLAUDE.md same-session caveat)
+    mor = read_corpus_latest(spark, state)
+    want_sig = content_signature(mor, key_col="content_hash")
+    mor_rows = mor.count()
+    n_split_urls = (
+        mor.groupBy("url")
+        .agg(F.count_distinct("batch").alias("nb"))
+        .where(F.col("nb") > 1)
+        .count()
+    )
+    n_stale_wins = (
+        mor.join(rec_urls.distinct(), on="url")
+        .where(F.col("batch") != "2026-02")
+        .count()
+    )
+    stale_text = (
+        res1.kept.where(F.col("doc_id") % 64 == 3)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["text"]
+    )
+
+    st = supersede_batch(spark, state, "2026-02")
+    cow = read_corpus_asof(spark, state, "2026-02")
+    cow_equals_mor = (
+        content_signature(cow, key_col="content_hash") == want_sig
+        and cow.count() == mor_rows
+    )
+    st2 = supersede_batch(spark, state, "2026-02")
+    repost = spark.range(1).select(
+        F.lit(7_777_777).alias("doc_id"),
+        F.lit("https://stale.example.org/repost").alias("url"),
+        F.lit(stale_text).alias("text"),
+    )
+    res3 = ingest_batch(spark, repost, state, "2026-03", config=cfg)
+    return spark.range(1).select(
+        F.lit(int(n_recrawled)).cast("long").alias("n_recrawled"),
+        F.lit(int(mor_rows)).cast("long").alias("mor_rows"),
+        F.lit(bool(n_split_urls == 0 and n_stale_wins == 0)).alias(
+            "mor_resolves_newest"
+        ),
+        F.lit(int(st.n_superseded)).cast("long").alias("n_superseded"),
+        F.lit(bool(cow_equals_mor)).alias("cow_equals_mor"),
+        F.lit(bool(st2.n_superseded == 0)).alias("second_supersede_noop"),
+        F.lit(bool(res3.kept.count() == 0)).alias("stale_repost_dropped"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2805,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "takedown_delete": _q_takedown_delete,
         "ingest_drift": _q_ingest_drift,
         "batch_rollback": _q_batch_rollback,
+        "upsert_latest": _q_upsert_latest,
     }
 
 

@@ -127,6 +127,7 @@ EXTRA_TIMED_QUERIES = [
     "takedown_delete",
     "ingest_drift",
     "batch_rollback",
+    "upsert_latest",
 ]
 
 

@@ -825,6 +825,58 @@ def read_corpus_asof(
     )
 
 
+def read_corpus_latest(
+    spark: SparkSession,
+    state_dir: str,
+    on_expired: str = "raise",
+    broadcast_losers: bool = True,
+) -> DataFrame:
+    """Merge-on-read upsert view — the newest copy of every url across
+    all committed batches (the Iceberg MOR / ``MERGE INTO`` read-side
+    analog for the ingest layout, and the view ``supersede_batch``
+    materializes copy-on-write). A url re-crawled with CHANGED content
+    survives history dedup as a new doc in a later batch; this view
+    resolves the race: for each url, only rows from the NEWEST committed
+    batch containing it remain (all of that batch's rows for the url —
+    same-url distinct-payload docs within one batch are siblings, not
+    versions; repo invariant: urls are NOT unique).
+
+    Plan shape (payload never shuffles): supersession is the exception,
+    so the LOSER set — rows of a url's non-newest batches — is
+    delta-scale (bounded by total re-crawls, not corpus size). It is
+    computed on a narrow (doc_id, url, batch) projection (the only
+    frame that exchanges), then removed with a broadcast LEFT ANTI join
+    on doc_id — document text crosses no Exchange (plan-pinned in
+    tests/test_supersede.py). ``broadcast_losers=False`` opts into a
+    shuffled anti-join for a corpus whose accumulated re-crawl set
+    outgrew the broadcast threshold. doc_id is a sound anti-join key:
+    it hashes (url, content_hash) and content_hash is unique
+    corpus-wide (within-batch exact dedup + history_exact).
+
+    Reference parity: docling-jobkit result stores key task results by
+    identity and newer runs shadow older entries on read
+    (``docling_jobkit/connectors`` result-store get semantics); this is
+    that shadowing over the batch-versioned corpus."""
+    root = state_dir.rstrip("/")
+    committed = _committed_batch_dirs(spark, f"{root}/ledger")
+    if not committed:
+        return _empty_corpus(spark).withColumn(
+            "batch", F.lit(None).cast("string")
+        )
+    latest = max(committed)
+    corpus = read_corpus_asof(spark, root, latest, on_expired=on_expired)
+    narrow = corpus.select("doc_id", "url", "batch")
+    newest = narrow.groupBy("url").agg(F.max("batch").alias("_newest"))
+    losers = (
+        narrow.join(newest, on="url")
+        .where(F.col("batch") < F.col("_newest"))
+        .select("doc_id")
+    )
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return corpus.join(losers, on="doc_id", how="left_anti")
+
+
 @dataclass(frozen=True)
 class VacuumStats:
     n_dirs_deleted: int
@@ -1288,6 +1340,91 @@ def delete_content(
         n_shard_batches_rewritten=n_shards,
         healed=tuple(sorted(set(healed))),
     )
+
+
+@dataclass(frozen=True)
+class SupersedeStats:
+    batch_id: str
+    n_urls: int  # distinct urls in the superseding batch
+    n_superseded: int  # older-batch copies removed (content_hash-unique)
+    delete: DeleteContentStats | None  # None when nothing was removed
+
+
+def supersede_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: str,
+    purge_shards: bool = True,
+) -> SupersedeStats:
+    """Copy-on-write upsert — materialize ``read_corpus_latest`` for one
+    committed batch (the Iceberg ``MERGE INTO``/COW write-side analog):
+    every OLDER-batch copy of a url present in ``batch_id`` is removed
+    from storage, so plain corpus reads see the newest content without
+    the MOR view. Batches newer than ``batch_id`` are never touched
+    (their supersessions are theirs to apply); applying the verb to each
+    batch in commit order leaves plain reads equal to the MOR view
+    (equivalence test-pinned in tests/test_supersede.py).
+
+    The superseded set is delta-scale (bounded by the batch's url
+    count), located with the history-dedup posture — the batch's
+    distinct urls BROADCAST against the streamed older corpus, history
+    never shuffles — then handed to :func:`delete_content`, inheriting
+    its whole contract: Bloom-bounded file set (only files holding
+    superseded rows are rewritten), certified self-describing tmps,
+    manifest-drop-before-file-delete ordering, shard purge, idempotent
+    heal of a torn prior call. Consequences inherited deliberately:
+
+    - dedup memory is KEPT: the stale content's hash stays ``seen`` and
+      its MinHash bands stay indexed, so a later crawl that re-surfaces
+      the OLD content is dropped — that is what supersession means.
+    - history is REWRITTEN: time-travel reads before ``batch_id`` see
+      the post-supersede corpus (same trade as takedown; use
+      ``read_corpus_latest`` when old versions must stay reconstructible).
+
+    A second call finds no targets and no-ops (idempotent). Raises if
+    ``batch_id`` is uncommitted, or committed but payload-expired (its
+    url set is no longer resolvable)."""
+    root = state_dir.rstrip("/")
+    committed = _committed_batch_dirs(spark, f"{root}/ledger")
+    if batch_id not in committed:
+        raise ValueError(
+            f"batch {batch_id!r} is not committed; cannot supersede with it"
+        )
+    batch_dir = f"{root}/corpus/batch={batch_id}"
+    if not _exists(spark, batch_dir):
+        raise ValueError(
+            f"batch {batch_id!r} payload was expired; its url set is no "
+            "longer resolvable, cannot supersede with it"
+        )
+    if not _has_data_files(spark, batch_dir):
+        # an all-dropped batch supersedes nothing
+        return SupersedeStats(batch_id, 0, 0, None)
+    new_urls = (
+        spark.read.schema(CORPUS_SCHEMA)
+        .parquet(batch_dir)
+        .select("url")
+        .distinct()
+    )
+    older_dirs = [
+        f"{root}/corpus/batch={b}"
+        for b in sorted(committed)
+        if b < batch_id
+        and _exists(spark, f"{root}/corpus/batch={b}")
+        and _has_data_files(spark, f"{root}/corpus/batch={b}")
+    ]
+    n_urls = new_urls.count()
+    if not older_dirs:
+        return SupersedeStats(batch_id, n_urls, 0, None)
+    old = spark.read.schema(CORPUS_SCHEMA).parquet(*older_dirs)
+    hits = old.join(F.broadcast(new_urls), on="url").select("content_hash")
+    # bounded: <= the batch's url count x old copies (delta-scale)
+    targets = sorted(r["content_hash"] for r in hits.distinct().collect())
+    if not targets:
+        return SupersedeStats(batch_id, n_urls, 0, None)
+    del_stats = delete_content(
+        spark, root, targets, purge_shards=purge_shards
+    )
+    return SupersedeStats(batch_id, n_urls, len(targets), del_stats)
 
 
 def ingest_drift_report(
