@@ -2490,6 +2490,25 @@ def _q_upsert_latest(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sampling (operators/training.py::
+    stratified_sample): exactly min(n, |stratum|) docs per (source,
+    lang) stratum, selected by deterministic 56-bit hash rank — the
+    eval-set / ablation carve-out primitive (mixture_sample keeps
+    EXPECTED multiplicity; this keeps exact counts). Ranking runs on a
+    narrow (key, strata, rank) projection with a partition-local
+    pre-prune, so no single task ever sorts a giant stratum and the
+    payload never enters a window. Rows-only (the oracle window is
+    full); the exact DuckDB twin (QUALIFY over the same sha-rank) and
+    partitioning invariance are pinned in tests/test_training.py."""
+    from docling_jobkit_spark.operators.training import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, 40, strata_cols=("source", "lang")).select(
+        "doc_id", "source", "lang", "sample_rank"
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every purchase event joined
     to the user's most recent prior click — the union+window
@@ -2913,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_drift": _q_ingest_drift,
         "batch_rollback": _q_batch_rollback,
         "upsert_latest": _q_upsert_latest,
+        "stratified_sample": _q_stratified_sample,
     }
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 from typing import Iterable, Mapping
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -153,6 +153,62 @@ def mixture_sample(
     return out.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
     ).drop("_n_copies")
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: Iterable[str] = ("source",),
+    key_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Exact-quota stratified sampling: exactly ``min(n, |stratum|)``
+    documents per stratum, chosen as the ``n`` smallest deterministic
+    hash ranks — the carve-out primitive for eval sets / ablations
+    where :func:`mixture_sample`'s Bernoulli multiplicity variance is
+    unacceptable ("exactly 10k docs per language", not "10k expected").
+    Output adds ``sample_rank`` (1-based within stratum). Same
+    determinism contract as the rest of this module: the selection is a
+    pure function of (key, salt) — repartitioning, resume, or cluster
+    size cannot change it (ties in the 56-bit rank break on the key).
+
+    Plan shape at 100 TB: ranking runs on a NARROW (key, strata, rank)
+    projection — payload never enters a window. The giant-stratum skew
+    of a naive ``row_number over (partition by stratum)`` (one task
+    sorts the whole stratum) is pre-pruned partition-locally first:
+    a row outside its input-partition's top-``n`` has ``>= n`` smaller
+    ranks in that partition alone, so it cannot be in the stratum's
+    global top-``n`` — the final window sees at most ``n x P``
+    candidate rows per stratum regardless of stratum size. The pruned
+    keep-set re-attaches by key equi-join (AQE broadcasts it when the
+    quota is small). Pre-prune correctness does not depend on the
+    partition layout, only the candidate count does."""
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    strata = list(strata_cols)
+    rank = stable_hash64(
+        F.concat_ws("\x1f", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    narrow = (
+        df.select(F.col(key_col), *[F.col(c) for c in strata])
+        .withColumn("_rank", rank)
+        # materialized as a column so the pre-prune window keys on the
+        # pid of the SCAN partition, not of a post-exchange one
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pre = Window.partitionBy(*strata, "_pid").orderBy("_rank", key_col)
+    cand = (
+        narrow.withColumn("_prn", F.row_number().over(pre))
+        .where(F.col("_prn") <= n_per_stratum)
+        .drop("_prn", "_pid")
+    )
+    w = Window.partitionBy(*strata).orderBy("_rank", key_col)
+    keep = (
+        cand.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+        .select(key_col, "sample_rank")
+    )
+    return df.join(keep, on=key_col)
 
 
 _PACK_EXTRA = [

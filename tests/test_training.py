@@ -296,3 +296,62 @@ def test_deterministic_shuffle_is_epoch_aware(docs):
         1 for a, b in zip(order, order[1:]) if a[0] == b[0]
     )
     assert adjacent_same_doc < len(order) // 10
+
+
+# ----------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_matches_duckdb_exactly(docs, sf_dir):
+    from docling_jobkit_spark.operators.training import stratified_sample
+
+    n = 37
+    out = stratified_sample(
+        docs, n, strata_cols=("source",), key_col="doc_id"
+    ).select("doc_id", "sample_rank")
+    got = _multiset([tuple(r) for r in out.collect()])
+    sql = f"""
+        with r as (
+          select doc_id, source,
+                 ('0x' || substr(sha256('strat-v1' || chr(31) || doc_id::varchar),
+                                 1, 14))::ubigint::bigint as rk
+          from '{sf_dir}/documents.parquet'
+        )
+        select doc_id,
+               row_number() over (partition by source order by rk, doc_id)
+                 as sample_rank
+        from r
+        qualify sample_rank <= {n}
+    """
+    want = _multiset(duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_stratified_sample_exact_quota_and_partitioning_invariance(docs):
+    from docling_jobkit_spark.operators.training import stratified_sample
+
+    n = 11
+    a = stratified_sample(docs, n, strata_cols=("source",))
+    sizes = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    got = {
+        r["source"]: r["count"]
+        for r in a.groupBy("source").count().collect()
+    }
+    # exactly min(n, |stratum|) per stratum — never Bernoulli variance
+    assert got == {s: min(n, c) for s, c in sizes.items()}
+    # pure function of (key, salt): the partition layout cannot move it
+    b = stratified_sample(docs.repartition(13), n, strata_cols=("source",))
+    key = lambda df: sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in df.select("doc_id", "sample_rank").collect()
+    )
+    assert key(a) == key(b)
+
+
+def test_stratified_sample_rejects_bad_quota(docs):
+    from docling_jobkit_spark.operators.training import stratified_sample
+
+    with pytest.raises(ValueError, match="positive"):
+        stratified_sample(docs, 0)
