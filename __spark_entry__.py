@@ -1197,14 +1197,17 @@ def _q_dsir_select(spark, sf_dir):
     pinned in tests/test_dsir.py with discrimination + plan tests."""
     from docling_jobkit_spark.operators.dsir import (
         dsir_sample,
-        train_hashed_dist,
+        train_hashed_dist_pair,
     )
     from docling_jobkit_spark.operators.textstats import lang_id
 
     docs = _read(spark, sf_dir, "documents")
-    target = train_hashed_dist(docs.where(lang_id("text") == "en"))
-    raw = train_hashed_dist(docs)
-    return dsir_sample(docs, target, raw, k=100).orderBy("rank")
+    # one feature pass trains BOTH dists and is reused for scoring
+    # (bit-identical to the separate trainings — pinned in test_dsir)
+    target, raw, feats = train_hashed_dist_pair(
+        docs, lang_id("text") == "en"
+    )
+    return dsir_sample(docs, target, raw, k=100, feats=feats).orderBy("rank")
 
 
 def _q_quality_filter(spark, sf_dir):
@@ -1220,15 +1223,19 @@ def _q_quality_filter(spark, sf_dir):
     from docling_jobkit_spark.operators.quality_clf import (
         pareto_filter,
         quality_scores,
-        train_quality_classifier,
+        train_quality_classifier_split,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    clf = train_quality_classifier(
-        docs.where(F.col("lang") == "en"),
-        docs.where(F.col("lang") != "en"),
+    # one labeled-frame feature pass trains both class multinomials and
+    # is reused for scoring (bit-identical to the two filtered
+    # trainings — pinned in test_quality_clf)
+    clf, feats = train_quality_classifier_split(
+        docs, F.col("lang") == "en"
     )
-    return pareto_filter(quality_scores(docs, clf)).orderBy("doc_id")
+    return pareto_filter(quality_scores(docs, clf, feats=feats)).orderBy(
+        "doc_id"
+    )
 
 
 def _q_decontaminate_fuzzy(spark, sf_dir):

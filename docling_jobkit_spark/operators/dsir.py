@@ -70,23 +70,32 @@ def hashed_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) — one row per unigram AND bigram occurrence.
+    """(id, bucket, *extra_cols) — one row per unigram AND bigram
+    occurrence.
 
     Bigrams join their two tokens with the 0x1f unit separator before
     hashing (so ("a b", "c") and ("a", "b c") land in different
-    buckets); docs with < 2 tokens emit unigrams only."""
-    base = df.select(F.col(id_col), _words_lower(text_col).alias("_ws"))
-    unis = base.select(id_col, F.explode("_ws").alias("_g"))
+    buckets); docs with < 2 tokens emit unigrams only. ``extra_cols``
+    (e.g. a per-doc class flag) ride the explode unchanged so a single
+    feature pass can feed per-class aggregations."""
+    extras = [F.col(c) for c in extra_cols]
+    base = df.select(
+        F.col(id_col), *extras, _words_lower(text_col).alias("_ws")
+    )
+    unis = base.select(id_col, *extras, F.explode("_ws").alias("_g"))
     bis = (
         base.where(F.size("_ws") >= 2)
         .select(
             id_col,
+            *extras,
             F.explode(F.sequence(F.lit(1), F.size("_ws") - 1)).alias("_i"),
             "_ws",
         )
         .select(
             id_col,
+            *extras,
             F.concat_ws(
                 _SEP,
                 F.element_at("_ws", F.col("_i")),
@@ -96,6 +105,7 @@ def hashed_features(
     )
     return unis.unionByName(bis).select(
         id_col,
+        *extras,
         F.pmod(stable_hash64(F.col("_g")), F.lit(n_buckets))
         .cast("int")
         .alias("bucket"),
@@ -117,6 +127,17 @@ class HashedNgramDist:
     total: int
 
 
+def _lq_col(c, denom: float):
+    """Quantized Laplace-smoothed log-prob — the ONE expression both
+    training paths share, so pair-training is bit-identical to two
+    separate trainings by construction."""
+    return (
+        F.round(F.log((c + 1) / F.lit(denom)) / F.lit(_LOG_QUANT), 0)
+        .cast("long")
+        .alias("lq")
+    )
+
+
 def train_hashed_dist(
     df: DataFrame,
     text_col: str = "text",
@@ -133,16 +154,94 @@ def train_hashed_dist(
     )
     total = int(counts.agg(F.sum("c")).collect()[0][0] or 0)
     denom = float(total + n_buckets)
-    dist = counts.select(
-        "bucket",
-        F.round(F.log((F.col("c") + 1) / F.lit(denom)) / F.lit(_LOG_QUANT), 0)
-        .cast("long")
-        .alias("lq"),
-    ).localCheckpoint(eager=True)
+    # NOT checkpointed: lineage is one select over the checkpointed
+    # counts — a second eager checkpoint here was a pure extra job
+    dist = counts.select("bucket", _lq_col(F.col("c"), denom))
     lq0 = int(round(math.log(1.0 / denom) / _LOG_QUANT))
     return HashedNgramDist(
         dist=dist, lq0=lq0, n_buckets=n_buckets, total=total
     )
+
+
+def train_hashed_dist_pair(
+    df: DataFrame,
+    target_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    complement: bool = False,
+    materialize_feats: bool = True,
+) -> tuple[HashedNgramDist, HashedNgramDist, DataFrame]:
+    """Both multinomials of the DSIR/NB recipe from ONE feature pass.
+
+    Returns ``(p_target, p_other, feats)`` where ``p_target`` is trained
+    on the rows where ``target_col`` is true and ``p_other`` on the FULL
+    corpus (``complement=False`` — DSIR's p_raw) or on the complement
+    rows (``complement=True`` — Naive Bayes negatives). Bit-identical to
+    two separate :func:`train_hashed_dist` calls on the filtered frames
+    (the per-class count of a bucket is the conditional sum in the same
+    aggregation; unobserved-in-class buckets are excluded exactly as a
+    filtered scan would never emit them) — pinned in tests/test_dsir.py.
+
+    ``feats`` is the corpus feature table (id, bucket) for scoring reuse
+    (the sign-once discipline: the explode+hash projection is the
+    family's dominant per-doc cost — pay it once, not three times per
+    select). With ``materialize_feats=True`` (default) the flagged
+    feature table is localCheckpoint-ed and every downstream consumer —
+    the training aggregation AND the scoring joins — reads the stored
+    blocks. At 100 TB, storing (id, bucket) per n-gram occurrence is
+    corpus-sized: pass ``materialize_feats=False`` to keep ``feats`` a
+    lazy scan-shaped projection instead (recomputed per consumer, zero
+    storage — the cluster-scale default).
+
+    Job-count motivation (measured at sf0.1, local[32]): two separate
+    trainings + lazy rescoring ran 17 Spark jobs for ~7 CPU-s — wall was
+    fixed per-job latency, not compute. One pass removes a full corpus
+    hash pass per training plus two checkpoints and one collect."""
+    tcol = F.col(target_col) if isinstance(target_col, str) else target_col
+    flagged = hashed_features(
+        df.withColumn("_is_t", tcol.cast("boolean")),
+        text_col,
+        id_col,
+        n_buckets,
+        extra_cols=("_is_t",),
+    )
+    if materialize_feats:
+        flagged = flagged.localCheckpoint(eager=True)
+    counts = (
+        flagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_all"),
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_t"),
+        )
+        .localCheckpoint(eager=True)  # consumed by totals AND both dims
+    )
+    row = counts.agg(F.sum("c_all"), F.sum("c_t")).collect()[0]
+    total_all = int(row[0] or 0)
+    total_t = int(row[1] or 0)
+    total_o = total_all if not complement else total_all - total_t
+    c_o = F.col("c_all") if not complement else F.col("c_all") - F.col("c_t")
+    denom_t = float(total_t + n_buckets)
+    denom_o = float(total_o + n_buckets)
+    t_dist = counts.where(F.col("c_t") >= 1).select(
+        "bucket", _lq_col(F.col("c_t"), denom_t)
+    )
+    o_dist = counts.where(c_o >= 1).select("bucket", _lq_col(c_o, denom_o))
+    target = HashedNgramDist(
+        dist=t_dist,
+        lq0=int(round(math.log(1.0 / denom_t) / _LOG_QUANT)),
+        n_buckets=n_buckets,
+        total=total_t,
+    )
+    other = HashedNgramDist(
+        dist=o_dist,
+        lq0=int(round(math.log(1.0 / denom_o) / _LOG_QUANT)),
+        n_buckets=n_buckets,
+        total=total_o,
+    )
+    return target, other, flagged.select(id_col, "bucket")
 
 
 def dsir_logweights(
@@ -151,16 +250,23 @@ def dsir_logweights(
     raw: HashedNgramDist,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, lqw, logw) — per-doc importance log-weight.
 
     lqw is the exact scaled-integer sum (units of 1e-4); logw = lqw *
-    1e-4 rounded to 6 places, for humans. Featureless docs get 0/0."""
+    1e-4 rounded to 6 places, for humans. Featureless docs get 0/0.
+    Pass ``feats`` (the (id, bucket) table from
+    :func:`train_hashed_dist_pair`) to reuse an already-materialized
+    feature pass instead of re-hashing the corpus."""
     if target.n_buckets != raw.n_buckets:
         raise ValueError(
             f"bucket spaces differ: {target.n_buckets} vs {raw.n_buckets}"
         )
-    feats = hashed_features(df, text_col, id_col, target.n_buckets)
+    if feats is None:
+        feats = hashed_features(df, text_col, id_col, target.n_buckets)
+    else:
+        feats = feats.select(id_col, "bucket")
     t = F.broadcast(
         target.dist.select(
             F.col("bucket").alias("_tb"), F.col("lq").alias("_tl")
@@ -218,6 +324,7 @@ def dsir_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel top-k selection: key = lqw + quantized-gumbel (exact long
     arithmetic → the ranking is engine- and partitioning-exact). Output
@@ -225,7 +332,7 @@ def dsir_sample(
     window runs over k rows only (post-limit), never the corpus."""
     from pyspark.sql import Window
 
-    lw = dsir_logweights(df, target, raw, text_col, id_col)
+    lw = dsir_logweights(df, target, raw, text_col, id_col, feats=feats)
     keyed = lw.select(
         id_col,
         "n_feats",

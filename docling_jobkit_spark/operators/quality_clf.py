@@ -52,6 +52,7 @@ from docling_jobkit_spark.operators.dsir import (
     HashedNgramDist,
     dsir_logweights,
     train_hashed_dist,
+    train_hashed_dist_pair,
 )
 
 PARETO_ALPHA = 9.0  # GPT-3 Appendix A's alpha
@@ -90,19 +91,61 @@ def train_quality_classifier(
     return QualityClassifier(pos=pos, neg=neg, prior_lq=prior_lq)
 
 
+def train_quality_classifier_split(
+    df: DataFrame,
+    pos_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    materialize_feats: bool = True,
+) -> tuple[QualityClassifier, DataFrame]:
+    """Train on a LABELED single frame (``pos_col`` boolean splits
+    positives from negatives) in ONE feature pass — bit-identical to
+    :func:`train_quality_classifier` on the two filtered frames (pinned
+    in tests/test_quality_clf.py), at a third of the Spark jobs: the
+    two class multinomials come from one conditional aggregation
+    (``train_hashed_dist_pair(complement=True)``) and the two prior
+    counts from one two-row aggregation. Returns ``(clf, feats)``;
+    pass ``feats`` to :func:`quality_scores` to also skip the scoring
+    re-hash (``materialize_feats`` semantics as in
+    ``train_hashed_dist_pair`` — False is the 100 TB default)."""
+    pcol = F.col(pos_col) if isinstance(pos_col, str) else pos_col
+    pos, neg, feats = train_hashed_dist_pair(
+        df,
+        pcol,
+        text_col,
+        id_col,
+        n_buckets,
+        complement=True,
+        materialize_feats=materialize_feats,
+    )
+    row = df.agg(
+        F.sum(F.when(pcol, 1).otherwise(0)),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    n_pos = int(row[0] or 0)
+    n_neg = int(row[1]) - n_pos
+    prior_lq = int(
+        round(math.log((n_pos + 1.0) / (n_neg + 1.0)) / _LOG_QUANT)
+    )
+    return QualityClassifier(pos=pos, neg=neg, prior_lq=prior_lq), feats
+
+
 def quality_scores(
     df: DataFrame,
     clf: QualityClassifier,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, logodds_lq, logodds, p_quality) — NB posterior.
 
     logodds_lq is the exact scaled-integer log-odds (1e-4 units,
     prior included); logodds / p_quality are rounded to 6 places for
     humans and for the engine-exact keep rule. Featureless docs score
-    the prior alone."""
-    lw = dsir_logweights(df, clf.pos, clf.neg, text_col, id_col)
+    the prior alone. ``feats`` reuses a materialized feature pass
+    (see :func:`train_quality_classifier_split`)."""
+    lw = dsir_logweights(df, clf.pos, clf.neg, text_col, id_col, feats=feats)
     lo_lq = (F.col("lqw") + F.lit(clf.prior_lq)).alias("logodds_lq")
     lo = F.col("logodds_lq") * F.lit(_LOG_QUANT)
     return lw.select(id_col, "n_feats", lo_lq).select(

@@ -68,6 +68,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces shuffle partitions by BYTES; this engine's hot
+        # stages are interpreted higher-order-function chains whose CPU
+        # per byte is 100-1000x a plain scan, so the default 1MB floor
+        # serializes them whenever the shuffled payload is small (hashes
+        # and ids, not text). 64KB keeps those stages wide; measured at
+        # sf0.1/local[32]: jaccard_pairs 2.6->1.8 s, curation_funnel
+        # 7.4->6.4, minhash_index_dedup 1.9->1.6 (16KB/4KB no better).
+        # Inert at production scale where partitions exceed 1MB anyway.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         # runtime skew mitigation for the join families (AQE splits an
         # oversized shuffle partition into parallel sub-joins): crawl
         # corpora are Zipfian in host/template keys, so the dedup/

@@ -176,3 +176,55 @@ def test_scoring_plan_broadcasts_dims_and_shuffles_no_text(dists):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text" not in ln
+
+
+# ------------------------------------------------- one-pass pair training
+
+
+def test_pair_training_bit_identical_to_separate(dists):
+    """train_hashed_dist_pair must reproduce two separate trainings
+    EXACTLY: same dist rows, same lq0/total, and the end-to-end Gumbel
+    top-k over the reused feature pass must be row-for-row identical."""
+    from docling_jobkit_spark.operators.dsir import train_hashed_dist_pair
+
+    docs, target, raw = dists
+    t2, r2, feats = train_hashed_dist_pair(
+        docs, F.col("doc_id") % 5 == 0, n_buckets=B
+    )
+    assert (t2.lq0, t2.total, t2.n_buckets) == (
+        target.lq0,
+        target.total,
+        target.n_buckets,
+    )
+    assert (r2.lq0, r2.total) == (raw.lq0, raw.total)
+    for a, b in ((t2.dist, target.dist), (r2.dist, raw.dist)):
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    sep = [
+        tuple(r)
+        for r in dsir_sample(docs, target, raw, k=50).orderBy("rank").collect()
+    ]
+    pair = [
+        tuple(r)
+        for r in dsir_sample(docs, t2, r2, k=50, feats=feats)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert sep == pair
+
+
+def test_pair_training_lazy_feats_identical(dists):
+    """materialize_feats=False (the 100 TB path — feats stays a lazy
+    scan-shaped projection) must not change a single value."""
+    from docling_jobkit_spark.operators.dsir import train_hashed_dist_pair
+
+    docs, target, raw = dists
+    t2, r2, feats = train_hashed_dist_pair(
+        docs, F.col("doc_id") % 5 == 0, n_buckets=B, materialize_feats=False
+    )
+    a = sorted(tuple(r) for r in dsir_logweights(docs, target, raw).collect())
+    b = sorted(
+        tuple(r) for r in dsir_logweights(docs, t2, r2, feats=feats).collect()
+    )
+    assert a == b

@@ -196,3 +196,36 @@ def test_scoring_plan_broadcasts_dims_and_shuffles_no_text(clf_and_docs):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text" not in ln
+
+
+# ---------------------------------------------- one-pass split training
+
+
+def test_split_training_bit_identical_to_separate(clf_and_docs):
+    """train_quality_classifier_split (one labeled-frame feature pass,
+    complement aggregation) must reproduce the two filtered trainings
+    EXACTLY, end to end through the Pareto keep rule."""
+    from docling_jobkit_spark.operators.quality_clf import (
+        train_quality_classifier_split,
+    )
+
+    docs, clf = clf_and_docs
+    clf2, feats = train_quality_classifier_split(
+        docs, F.col("lang") == "en", n_buckets=B
+    )
+    assert clf2.prior_lq == clf.prior_lq
+    assert (clf2.pos.lq0, clf2.pos.total) == (clf.pos.lq0, clf.pos.total)
+    assert (clf2.neg.lq0, clf2.neg.total) == (clf.neg.lq0, clf.neg.total)
+    sep = [
+        tuple(r)
+        for r in pareto_filter(quality_scores(docs, clf))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    split = [
+        tuple(r)
+        for r in pareto_filter(quality_scores(docs, clf2, feats=feats))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert sep == split
