@@ -197,7 +197,11 @@ def train_hashed_dist_pair(
     Job-count motivation (measured at sf0.1, local[32]): two separate
     trainings + lazy rescoring ran 17 Spark jobs for ~7 CPU-s — wall was
     fixed per-job latency, not compute. One pass removes a full corpus
-    hash pass per training plus two checkpoints and one collect."""
+    hash pass per training plus two checkpoints and one collect.
+
+    A NULL ``target_col`` counts as false (the row trains the raw /
+    complement side); pre-filter rows whose label is genuinely unknown
+    if that is not the intended semantics."""
     tcol = F.col(target_col) if isinstance(target_col, str) else target_col
     flagged = hashed_features(
         df.withColumn("_is_t", tcol.cast("boolean")),
