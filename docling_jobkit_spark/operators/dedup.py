@@ -818,10 +818,15 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # the PRE-round label rides along as _old so convergence is a
+        # filter over the round's own checkpointed output — the previous
+        # labels⋈new_labels compare join was one extra shuffle join per
+        # round, pure fixed latency on an iterative loop
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("_old"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
@@ -845,6 +850,7 @@ def near_dup_clusters(
                 )
                 .select(
                     "id",
+                    "_old",
                     F.coalesce(F.col("_plabel"), F.col("cluster_id")).alias(
                         "cluster_id"
                     ),
@@ -852,13 +858,11 @@ def near_dup_clusters(
             )
         new_labels = _materialize(new_labels)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             break
     else:
