@@ -150,7 +150,7 @@ def train_hashed_dist(
         hashed_features(df, text_col, id_col, n_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # consumed by total AND the dim
+        .localCheckpoint(eager=False)  # consumed by total AND the dim (lazy: the totals collect materializes it in its own job)
     )
     total = int(counts.agg(F.sum("c")).collect()[0][0] or 0)
     denom = float(total + n_buckets)
@@ -211,7 +211,7 @@ def train_hashed_dist_pair(
         extra_cols=("_is_t",),
     )
     if materialize_feats:
-        flagged = flagged.localCheckpoint(eager=True)
+        flagged = flagged.localCheckpoint(eager=False)
     counts = (
         flagged.groupBy("bucket")
         .agg(
@@ -220,7 +220,7 @@ def train_hashed_dist_pair(
             .cast("long")
             .alias("c_t"),
         )
-        .localCheckpoint(eager=True)  # consumed by totals AND both dims
+        .localCheckpoint(eager=False)  # consumed by totals AND both dims (lazy: the totals collect materializes it)
     )
     row = counts.agg(F.sum("c_all"), F.sum("c_t")).collect()[0]
     total_all = int(row[0] or 0)

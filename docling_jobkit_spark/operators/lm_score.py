@@ -94,7 +94,7 @@ def train_bigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
-    uni = uni.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=False)
     vocab_top = uni.orderBy(F.desc("c1"), F.asc("w")).limit(vocab_size)
     totals = uni.agg(
         F.sum("c1").alias("_t"),
@@ -113,7 +113,7 @@ def train_bigram_lm(
     unk_row = spark.range(1).select(
         F.lit(UNK).alias("w"), F.lit(unk_count).cast("long").alias("c1")
     )
-    vocab = vocab_top.unionByName(unk_row).localCheckpoint(eager=True)
+    vocab = vocab_top.unionByName(unk_row).localCheckpoint(eager=False)
 
     pairs = _doc_bigrams(
         df.select(F.monotonically_increasing_id().alias("_rid"), text_col),
@@ -129,7 +129,7 @@ def train_bigram_lm(
         .select(
             F.col("w1m").alias("w1"), F.col("w2m").alias("w2"), "c12"
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return BigramLM(vocab=vocab, bigrams=bigrams, v_size=n_vocab + 1, k=k)
 

@@ -123,7 +123,7 @@ def semantic_duplicates(
     # multi-consumer intermediate (pairs self-join + verdict join-back):
     # materialize once — repo invariant, lineage otherwise recomputes the
     # k-cosine assignment per consumer
-    ranked = ranked.localCheckpoint(eager=True)
+    ranked = ranked.localCheckpoint(eager=False)
     slim = ranked.where(F.col("ivf_cell") >= 0).select(
         F.col("ivf_cell"), F.col(id_col), F.col(vec_col), F.col("sem_rank")
     )

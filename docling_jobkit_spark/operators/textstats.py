@@ -261,7 +261,7 @@ def corpus_report(df: DataFrame, text_col: str = "text", lang_col: str = "lang")
     )
     # multi-consumer intermediate: materialize once (repo invariant —
     # interpreted expression chains recompute per consumer otherwise)
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=False)
     dup_hashes = (
         base.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_cnt"))

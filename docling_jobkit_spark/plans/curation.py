@@ -198,8 +198,11 @@ def curate_corpus(
     # stage's signature materialization, decontamination's k-gram
     # materialization, and the final checkpoint) — without this each of
     # them re-runs the url/lang/gopher/dedup chain from the scan.
+    # Lazy: the fuzzy stage's first action materializes it inside its
+    # own job (an eager checkpoint is a separate blocking driver job;
+    # same blocks either way).
     if materialize:
-        s = s.localCheckpoint(eager=True)
+        s = s.localCheckpoint(eager=False)
 
     # -- 6: fuzzy dedup among survivors (clusters, keep canonical) ----
     surv = s.where(F.col("drop_stage").isNull())
@@ -238,8 +241,9 @@ def curate_corpus(
     # materialize once (repo invariant: multi-consumer lineage re-runs
     # the whole funnel per consumer otherwise). At cluster scale a
     # caller writing stamped to a table first gets the same effect.
+    # Lazy for the same reason as the mid-funnel checkpoint.
     if materialize:
-        s = s.localCheckpoint(eager=True)
+        s = s.localCheckpoint(eager=False)
     kept = (
         s.where(F.col("drop_stage").isNull())
         .withColumn(text_col, F.col("redacted_text"))

@@ -323,7 +323,7 @@ def ingest_batch(
             F.col(id_col).alias("doc_id"),
             F.col("redacted_text").alias("text"),
         )
-        surv_banded = banded_signatures(surv).localCheckpoint(eager=True)
+        surv_banded = banded_signatures(surv).localCheckpoint(eager=False)
         verdicts = dedup_incremental(
             surv,
             idx,
@@ -340,8 +340,14 @@ def ingest_batch(
 
     # The final stamped frame feeds the ledger AND the commit writes —
     # materialize once past the probe joins (repo invariant:
-    # multi-consumer lineage recomputes otherwise); delta-sized.
-    stamped = stamped.localCheckpoint(eager=True)
+    # multi-consumer lineage recomputes otherwise); delta-sized. LAZY:
+    # the first commit write materializes it inside its own job — an
+    # eager checkpoint here was a separate blocking job per batch (the
+    # lifecycle entries' dominant fixed cost was 21 eager-checkpoint
+    # jobs per run, cProfile session 13). Eager remains REQUIRED only
+    # where a frame must be materialized before its source dir is
+    # rewritten (zonemap/bloom keep-and-rewrite paths).
+    stamped = stamped.localCheckpoint(eager=False)
 
     # -- commit (ordered; ledger marker LAST) --------------------------
     kept = stamped.where(F.col("drop_stage").isNull()).select(
