@@ -171,3 +171,78 @@ def extract_documents(
         lambda it: _extract_batches(it, max_bytes, profile), schema=RESULT_SCHEMA
     )
     return with_document_identity(mapped)
+
+
+def _extract_pdf_batches(
+    batches: Iterator[pd.DataFrame],
+    max_bytes: int | None,
+    payload_col: str,
+    auto: bool,
+    profile: str,
+) -> Iterator[pd.DataFrame]:
+    from docling_jobkit_spark.extractor.extract import PROFILES, extract
+    from docling_jobkit_spark.extractor.pdf import extract_pdf, is_pdf
+
+    prof = PROFILES[profile]
+    for batch in batches:
+        urls = batch["url"].tolist()
+        payloads = batch[payload_col].tolist()
+        out: dict[str, list] = {
+            "url": [], "status": [], "extracted_text": [], "spans": [],
+            "error": [], "n_pages": [], "n_bytes": [], "n_spans": [],
+            "timings": [],
+        }
+        for url, raw in zip(urls, payloads):
+            payload = bytes(raw) if raw is not None else None
+            if auto and not (payload is not None and is_pdf(payload)):
+                res = extract(payload, url, max_bytes=max_bytes, profile=prof)
+            else:
+                res = extract_pdf(payload, url, max_bytes=max_bytes)
+            out["url"].append(url)
+            out["status"].append(res.status)
+            out["extracted_text"].append(res.text)
+            out["spans"].append(res.spans)
+            out["error"].append(res.error.as_dict() if res.error else None)
+            out["n_pages"].append(res.n_pages)
+            out["n_bytes"].append(len(payload) if payload is not None else 0)
+            out["n_spans"].append(len(res.spans))
+            out["timings"].append(res.timings)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_documents(
+    pages: DataFrame,
+    max_bytes: int | None = None,
+    payload_col: str = "pdf",
+) -> DataFrame:
+    """pages(url, <payload_col>) → results(FULL_RESULT_SCHEMA) through the
+    from-scratch PDF layout extractor (extractor/pdf.py — the analog of
+    the reference's PDF pipeline selection, ``convert/manager.py:
+    1672-1723``). Same operator shape as ``extract_documents``: Arrow
+    batches, column-pruned scan, failures as rows."""
+    pruned = pages.select("url", payload_col)
+    mapped = pruned.mapInPandas(
+        lambda it: _extract_pdf_batches(it, max_bytes, payload_col, False, "default"),
+        schema=RESULT_SCHEMA,
+    )
+    return with_document_identity(mapped)
+
+
+def extract_documents_auto(
+    pages: DataFrame,
+    max_bytes: int | None = None,
+    payload_col: str = "html",
+    profile: str = "default",
+) -> DataFrame:
+    """Mixed-corpus flagship map: per-row content sniff routes each
+    payload to the PDF extractor (``%PDF-`` magic within the first 1 KB)
+    or the HTML extractor — the reference's per-document backend
+    selection (``convert/manager.py:1554-1565``) re-expressed as one
+    format-dispatching ``mapInPandas`` so a crawl table whose binary
+    column mixes formats converts in a single pass."""
+    pruned = pages.select("url", payload_col)
+    mapped = pruned.mapInPandas(
+        lambda it: _extract_pdf_batches(it, max_bytes, payload_col, True, profile),
+        schema=RESULT_SCHEMA,
+    )
+    return with_document_identity(mapped)

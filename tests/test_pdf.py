@@ -1,0 +1,304 @@
+"""From-scratch PDF extractor: generator-roundtrip oracle + handcrafted
+spec-corner fixtures + Spark operator equivalence.
+
+The generator (pdf_gen.py) computes the exact expected extraction for
+every spec it renders, so roundtrip equality is a *total* oracle over
+layout (reading order, columns, tables, figures, headings), not a spot
+check. Handcrafted PDFs cover object/content-stream corners the
+generator never emits (escapes, hex strings, TJ kerning, form XObjects,
+invisible text, broken inputs)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pytest
+
+from docling_jobkit_spark.extractor import pdf, pdf_gen as g
+from docling_jobkit_spark.extractor.pdf import extract_pdf
+
+
+# ---------------------------------------------------------------------------
+# handcrafted minimal PDFs
+# ---------------------------------------------------------------------------
+def mini_pdf(content: bytes, extra_objs: dict[int, bytes] | None = None,
+             resources: bytes = b"<< /Font << /F1 5 0 R >> >>") -> bytes:
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources " + resources + b" /Contents 4 0 R >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    if extra_objs:
+        objs.update(extra_objs)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\nendobj\n" % (num, objs[num])
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objs) + 1)
+    for num in range(1, max(objs) + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        max(objs) + 1, xref)
+    return bytes(out)
+
+
+def line(text: bytes, y: int = 700, x: int = 72, size: int = 10) -> bytes:
+    return b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%s) Tj ET" % (size, x, y, text)
+
+
+# ---------------------------------------------------------------------------
+# generator-roundtrip oracle
+# ---------------------------------------------------------------------------
+def _mixed_pages():
+    p1 = g.Page.of(
+        [g.heading("Results"),
+         g.para("The quick brown fox jumps over the lazy dog repeatedly until done."),
+         g.table([["name", "count"], ["alpha", "12"], ["beta", "345"]]),
+         g.figure(),
+         g.para("A closing paragraph with several more words to wrap across lines.")],
+    )
+    p2 = g.Page.of(
+        [g.para("Left column first paragraph with plenty of words to fill two lines at least."),
+         g.para("Left column second paragraph also long enough to wrap onto another line.")],
+        [g.para("Right column opening paragraph long enough to wrap onto two lines here."),
+         g.para("Right column closer, again with sufficient length for wrapping purposes.")],
+        title="A Two Column Title That Spans The Whole Page",
+    )
+    return [p1, p2]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_mixed_layout(compress):
+    pages = _mixed_pages()
+    res = extract_pdf(g.build_pdf(pages, compress=compress), "u")
+    assert res.status == "SUCCESS" and res.error is None
+    assert res.n_pages == 2
+    assert res.text == g.expected_text(pages)
+    assert [s.kind for s in res.spans] == g.expected_kinds(pages)
+
+
+def test_span_offsets_slice_back_to_block_texts():
+    pages = _mixed_pages()
+    res = extract_pdf(g.build_pdf(pages))
+    texts = [t for p in pages for _k, t in g.expected_blocks(p)]
+    assert [res.text[s.start:s.end] for s in res.spans] == texts
+
+
+def test_reading_order_two_columns_after_full_width_title():
+    pages = _mixed_pages()
+    res = extract_pdf(g.build_pdf(pages))
+    page2 = res.text.split("\f")[1].split("\n\n")
+    assert page2[0].startswith("A Two Column Title")
+    assert page2[1].startswith("Left column first")
+    assert page2[2].startswith("Left column second")
+    assert page2[3].startswith("Right column opening")
+    assert page2[4].startswith("Right column closer")
+
+
+def test_table_cells_tab_joined_rows_newline_joined():
+    pages = [g.Page.of([g.table([["a", "bb", "ccc"], ["1", "22", "333"]])])]
+    res = extract_pdf(g.build_pdf(pages))
+    assert res.text == "a\tbb\tccc\n1\t22\t333"
+    assert res.spans[0].kind == "table"
+
+
+def test_multipage_joined_by_formfeed_and_unicode_text():
+    pages = [g.Page.of([g.para("première page naïve — déjà vu")]),
+             g.Page.of([g.para("second page")])]
+    res = extract_pdf(g.build_pdf(pages))
+    assert res.text == "première page naïve — déjà vu\fsecond page"
+    assert res.n_pages == 2
+
+
+def test_generator_and_extractor_are_pure():
+    pages = _mixed_pages()
+    assert g.build_pdf(pages) == g.build_pdf(pages)
+    data = g.build_pdf(pages)
+    a, b = extract_pdf(data), extract_pdf(data)
+    # timings are wall-clock by contract (extract.py: "NOT part of the
+    # byte-identical contract"); everything else must be bit-equal
+    assert (a.url, a.status, a.text, a.spans, a.error, a.n_pages) == (
+        b.url, b.status, b.text, b.spans, b.error, b.n_pages
+    )
+
+
+def test_hard_split_words_match_expected_oracle():
+    word = "supercalifragilisticexpialidocious" * 8
+    pages = [g.Page.of([g.para(word)])]
+    res = extract_pdf(g.build_pdf(pages))
+    assert res.text == g.expected_text(pages)
+    assert res.text.replace(" ", "") == word
+
+
+# ---------------------------------------------------------------------------
+# content-stream corners (handcrafted)
+# ---------------------------------------------------------------------------
+def test_literal_string_escapes_and_nesting():
+    content = line(rb"a\(b\)c \\ \110\151 (nested) end")
+    res = extract_pdf(mini_pdf(content))
+    assert res.text == r"a(b)c \ Hi (nested) end"
+
+
+def test_hex_string_tj():
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <48656C6C6F> Tj ET"
+    assert extract_pdf(mini_pdf(content)).text == "Hello"
+
+
+def test_tj_array_kerning_space_rule():
+    big = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(Hello) -250 (world)] TJ ET"
+    small = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm [(Hel) -50 (lo)] TJ ET"
+    assert extract_pdf(mini_pdf(big)).text == "Hello world"
+    assert extract_pdf(mini_pdf(small)).text == "Hello"
+
+
+def test_td_tstar_quote_operators_build_lines():
+    content = (b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (one) Tj "
+               b"(two) ' (three) ' ET")
+    res = extract_pdf(mini_pdf(content))
+    # 12pt leading at 10pt font: successive lines, same block
+    assert res.text == "one two three"
+
+
+def test_invisible_text_mode_is_skipped():
+    content = (line(b"visible", y=700) + b"\n" +
+               b"BT /F1 10 Tf 3 Tr 1 0 0 1 72 680 Tm (hidden) Tj ET")
+    assert extract_pdf(mini_pdf(content)).text == "visible"
+
+
+def test_form_xobject_recursion_with_matrix():
+    form = b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (from form) Tj ET"
+    extra = {
+        6: (b"<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Length %d >>"
+            b"\nstream\n%s\nendstream" % (len(form), form)),
+    }
+    res_dict = b"<< /Font << /F1 5 0 R >> /XObject << /Fx0 6 0 R >> >>"
+    content = b"q 1 0 0 1 72 700 cm /Fx0 Do Q"
+    res = extract_pdf(mini_pdf(content, extra, res_dict))
+    assert res.text == "from form"
+
+
+def test_image_xobject_and_inline_image_become_figures():
+    extra = {
+        6: (b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+            b"\nstream\n\x80\nendstream"),
+    }
+    res_dict = b"<< /Font << /F1 5 0 R >> /XObject << /Im0 6 0 R >> >>"
+    content = (line(b"above", y=700) + b"\n"
+               b"q 50 0 0 50 72 600 cm /Im0 Do Q\n" + line(b"below", y=560))
+    res = extract_pdf(mini_pdf(content, extra, res_dict))
+    assert res.text == "above\n\n[figure]\n\nbelow"
+    assert [s.kind for s in res.spans] == ["text", "figure", "text"]
+
+
+def test_graphics_state_stack_restores_ctm():
+    content = (b"q 2 0 0 2 0 0 cm " + line(b"scaled", y=350) + b" Q\n"
+               + line(b"normal", y=680))
+    res = extract_pdf(mini_pdf(content))
+    # scaled text renders at y=700 device with size 20 -> heading-sized
+    assert "scaled" in res.text and "normal" in res.text
+    kinds = {res.text[s.start:s.end]: s.kind for s in res.spans}
+    assert kinds["scaled"] == "heading"
+
+
+def test_flate_stream_with_direct_length():
+    raw = line(b"compressed content line")
+    body = zlib.compress(raw)
+    objs = {4: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+               % (len(body), body)}
+    res = extract_pdf(mini_pdf(b"", objs))
+    assert res.text == "compressed content line"
+
+
+# ---------------------------------------------------------------------------
+# tolerance + failure rows
+# ---------------------------------------------------------------------------
+def test_junk_before_header_and_broken_xref_tolerated():
+    data = g.build_pdf([g.Page.of([g.para("still readable")])])
+    prefixed = b"\xff\xfe junk " + data  # magic still within first 1KB
+    broken = data.replace(b"0000000015", b"0000009999", 1)  # xref is ignored
+    assert extract_pdf(prefixed).text == "still readable"
+    assert extract_pdf(broken).text == "still readable"
+
+
+def test_failure_rows_never_raise():
+    empty = extract_pdf(b"")
+    assert empty.status == "FAILURE" and empty.error.category == "SOURCE_UNAVAILABLE"
+    not_pdf = extract_pdf(b"<html><body>hi</body></html>")
+    assert not_pdf.status == "FAILURE" and not_pdf.error.category == "POLICY"
+    too_big = extract_pdf(g.build_pdf([g.Page.of([g.para("x")])]), max_bytes=10)
+    assert too_big.status == "FAILURE" and "max_file_size" in too_big.error.message
+    pages = [g.Page.of([g.para("a")]), g.Page.of([g.para("b")])]
+    too_many = extract_pdf(g.build_pdf(pages), max_pages=1)
+    assert too_many.status == "FAILURE" and too_many.error.category == "POLICY"
+    assert too_many.n_pages == 2
+
+
+def test_unsupported_filter_and_corrupt_flate_are_policy_rows():
+    raw = line(b"x")
+    objs = {4: b"<< /Length %d /Filter /DCTDecode >>\nstream\n%s\nendstream"
+               % (len(raw), raw)}
+    res = extract_pdf(mini_pdf(b"", objs))
+    assert res.status == "FAILURE" and "unsupported stream filter" in res.error.message
+    objs = {4: b"<< /Length 9 /Filter /FlateDecode >>\nstream\nnotflate!\nendstream"}
+    res = extract_pdf(mini_pdf(b"", objs))
+    assert res.status == "FAILURE" and "Flate" in res.error.message
+
+
+def test_truncated_pdf_is_failure_row_not_exception():
+    data = g.build_pdf(_mixed_pages())
+    for cut in (20, 200, len(data) // 2):
+        res = extract_pdf(data[:cut])
+        assert res.status in ("SUCCESS", "FAILURE")  # never raises
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+def test_spark_pdf_operator_matches_driver(spark):
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+
+    pages = _mixed_pages()
+    rows = [("pdf://doc/%d" % i, g.build_pdf(pages, compress=bool(i % 2)))
+            for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "pdf"]),
+        schema="url string, pdf binary",
+    )
+    got = {r["url"]: r for r in extract_pdf_documents(df).collect()}
+    for url, data in rows:
+        exp = extract_pdf(data, url)
+        assert got[url]["status"] == exp.status
+        assert got[url]["extracted_text"] == exp.text
+        assert got[url]["n_pages"] == exp.n_pages
+        assert [tuple(s) for s in got[url]["spans"]] == [tuple(s) for s in exp.spans]
+        assert got[url]["content_hash"] is not None
+
+
+def test_spark_auto_routing_mixed_corpus(spark):
+    from docling_jobkit_spark.operators.extract_op import extract_documents_auto
+
+    pdf_bytes = g.build_pdf([g.Page.of([g.para("pdf payload body text")])])
+    html_bytes = (b"<html><body><p>" +
+                  b"an html paragraph long enough to be kept by the classifier" +
+                  b"</p></body></html>")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("u://pdf", pdf_bytes), ("u://html", html_bytes), ("u://junk", b"\x00\x01")],
+            columns=["url", "html"],
+        ),
+        schema="url string, html binary",
+    )
+    got = {r["url"]: r for r in extract_documents_auto(df).collect()}
+    assert got["u://pdf"]["extracted_text"] == "pdf payload body text"
+    assert "an html paragraph" in got["u://html"]["extracted_text"]
+    # junk routes to the HTML extractor (no %PDF- magic): any structured
+    # outcome is fine — the contract is rows, never task failures
+    assert got["u://junk"]["status"] in ("SUCCESS", "PARTIAL_SUCCESS", "FAILURE")
