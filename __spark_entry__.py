@@ -2825,6 +2825,99 @@ def _q_join_multiway(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """PDF layout-extraction roundtrip (extractor/pdf.py — the north
+    star's "PDF layout analysis with reading-order reconstruction,
+    table/figure region detection"): each sampled document is rendered
+    into a real PDF on the EXECUTORS (deterministic spec from
+    doc_id+text: optional two-column layout with a full-width title,
+    a 2x2 table, figures on every third doc, Flate compression on odd
+    ids, and a planted corrupt payload every 50th doc), pushed through
+    the ``extract_pdf_documents`` mapInPandas operator, and certified
+    row-by-row against the generator's expected-text oracle. Rows-only
+    (binary fixture synthesis has no SQL twin); the layout semantics
+    are exactly pinned in tests/test_pdf.py."""
+    from pyspark.sql import types as T
+
+    from docling_jobkit_spark.operators.dedup import spread_for_compute
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("pdf", T.BinaryType()),
+            T.StructField("expected_text", T.StringType()),
+        ]
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from docling_jobkit_spark.extractor import pdf_gen as g
+
+        for b in batches:
+            out = {"doc_id": [], "url": [], "pdf": [], "expected_text": []}
+            for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+                words = [w[:12] for w in str(text).split()] or ["empty"]
+                title = " ".join(words[:6])
+                cells = (words + ["-"] * 4)[:4]
+                body = words[6:] or ["body"]
+                mid = len(body) // 2
+                paras = [" ".join(body[:mid]) or "a", " ".join(body[mid:]) or "b"]
+                blocks = [g.heading(title), g.para(paras[0]), g.table([cells[:2], cells[2:]])]
+                if doc_id % 3 == 0:
+                    blocks.append(g.figure())
+                blocks.append(g.para(paras[1]))
+                norm = " ".join(str(text).split())
+                # two-column gate: each column needs >=150 chars (>=4
+                # wrapped lines) so run-level gutter detection is sound;
+                # corpus max length is ~580 so the gate fires on the
+                # long tail, not everywhere
+                if len(norm) >= 380 and len(paras[0]) >= 150 and len(paras[1]) >= 150:
+                    pages = [g.Page.of([g.para(paras[0])], [g.para(paras[1])], title=title)]
+                elif doc_id % 4 == 0:
+                    pages = [g.Page.of(blocks[:2]), g.Page.of(blocks[2:])]
+                else:
+                    pages = [g.Page.of(blocks)]
+                data = g.build_pdf(pages, compress=bool(doc_id % 2))
+                expected = g.expected_text(pages)
+                if doc_id % 50 == 7:  # planted failure: header stripped
+                    data = data[16:]
+                    expected = None
+                out["doc_id"].append(doc_id)
+                out["url"].append(f"pdf://doc/{doc_id}")
+                out["pdf"].append(data)
+                out["expected_text"].append(expected)
+            yield pd.DataFrame(out)
+
+    docs = spread_for_compute(
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+    gen = docs.mapInPandas(_gen, schema=gen_schema).localCheckpoint(eager=False)
+    extracted = extract_pdf_documents(gen.select("url", "pdf"))
+    return (
+        extracted.join(gen.select("doc_id", "url", "expected_text"), on="url")
+        .select(
+            "doc_id",
+            "status",
+            "n_pages",
+            "n_spans",
+            F.expr("size(filter(spans, s -> s.kind = 'table'))").alias("n_tables"),
+            F.expr("size(filter(spans, s -> s.kind = 'figure'))").alias("n_figures"),
+            F.expr("size(filter(spans, s -> s.kind = 'heading'))").alias("n_headings"),
+            (
+                (F.col("status") == "SUCCESS")
+                & (F.col("extracted_text") == F.col("expected_text"))
+            ).alias("text_exact"),
+            F.col("error.category").alias("err_category"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract entries. ORDERING MATTERS: the driver's correctness check
     adjudicates the entries in dict order (observed cap: first 50 in
@@ -2940,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_rollback": _q_batch_rollback,
         "upsert_latest": _q_upsert_latest,
         "stratified_sample": _q_stratified_sample,
+        "pdf_extract": _q_pdf_extract,
     }
 
 

@@ -128,6 +128,7 @@ EXTRA_TIMED_QUERIES = [
     "ingest_drift",
     "batch_rollback",
     "upsert_latest",
+    "pdf_extract",
 ]
 
 

@@ -801,10 +801,14 @@ def _detect_columns_runs(runs: list[Run]) -> tuple[int | None, list[int]]:
     """RUN-level column detection (before any line clustering — two
     side-by-side columns share baselines, so detecting on lines would
     merge them into fake table rows). Returns (gutter_x or None, indexes
-    of runs that CROSS the gutter — full-width titles, which become band
-    separators). The gutter maximizes min(left, right) run counts subject
-    to: >=2 runs per side, a physical gap >= MIN_GUTTER_CP, and at most
-    20% of runs crossing. O(n log n) via a sorted sweep."""
+    of runs that INTRUDE INTO the gutter zone — full-width titles, which
+    become band separators). A left run is one ending at least a full
+    gutter width (max(MIN_GUTTER_CP, 240% of median size)) before the
+    right side starts; a run ending inside that zone is 'crossing'
+    whether or not it touches the right side — a wide centered title
+    that stops 1 pt short of the right column must not erase the gutter.
+    Constraints: >=2 runs per side, at most 20% crossing; score
+    maximizes min(left, right). O(n log n) via a sorted sweep."""
     import bisect
 
     n = len(runs)
@@ -818,13 +822,9 @@ def _detect_columns_runs(runs: list[Run]) -> tuple[int | None, list[int]]:
     best_g = None
     for g in sorted(set(xs[1:])):
         n_right = n - bisect.bisect_left(xs, g)
-        i_left = bisect.bisect_left(xends, g)
-        n_left = i_left
+        n_left = bisect.bisect_right(xends, g - min_gutter)
         crossing = n - n_left - n_right
         if n_left < 2 or n_right < 2 or crossing * 5 > n:
-            continue
-        gap = xs[n - n_right] - xends[i_left - 1]
-        if gap < min_gutter:
             continue
         key = (min(n_left, n_right), -g)
         if best_key is None or key > best_key:
@@ -835,7 +835,7 @@ def _detect_columns_runs(runs: list[Run]) -> tuple[int | None, list[int]]:
     crossing_idx = [
         i
         for i, r in enumerate(runs)
-        if r.x < best_g and r.x + _est_width(r.size, r.text) >= best_g
+        if r.x < best_g and r.x + _est_width(r.size, r.text) > best_g - min_gutter
     ]
     return best_g, crossing_idx
 

@@ -101,6 +101,23 @@ def test_reading_order_two_columns_after_full_width_title():
     assert page2[4].startswith("Right column closer")
 
 
+def test_wide_title_stopping_short_of_gutter_still_detects_columns():
+    """Regression: a full-width title whose estimated end lands a few
+    points BEFORE the right column's x must count as crossing (it
+    intrudes into the gutter zone), not shrink the measured gap below
+    threshold — doc 149 of the sf0.001 corpus merged its two columns
+    into a fake table before the gutter-zone rule."""
+    # title sized to end ~9pt short of the right column (x0=324)
+    title = "a hash merge key fast order"  # 27 chars * 9pt = 243 -> x1=315
+    pages = [g.Page.of(
+        [g.para("left column body " * 9)], [g.para("right column body " * 9)],
+        title=title,
+    )]
+    res = extract_pdf(g.build_pdf(pages))
+    assert res.text == g.expected_text(pages)
+    assert [s.kind for s in res.spans][0] == "heading"
+
+
 def test_table_cells_tab_joined_rows_newline_joined():
     pages = [g.Page.of([g.table([["a", "bb", "ccc"], ["1", "22", "333"]])])]
     res = extract_pdf(g.build_pdf(pages))
