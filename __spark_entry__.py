@@ -2833,14 +2833,16 @@ def _q_pdf_extract(spark, sf_dir):
     doc_id+text: optional two-column layout with a full-width title,
     a 2x2 table, figures on every third doc, Flate compression on odd
     ids, and a planted corrupt payload every 50th doc), pushed through
-    the ``extract_pdf_documents`` mapInPandas operator, and certified
+    the sliced composition (``extract_pdf_documents_sliced``: multi-page
+    docs split into self-contained sub-PDFs, spread, reassembled — the
+    reference's single-PDF slice fan-out), and certified
     row-by-row against the generator's expected-text oracle. Rows-only
     (binary fixture synthesis has no SQL twin); the layout semantics
     are exactly pinned in tests/test_pdf.py."""
     from pyspark.sql import types as T
 
     from docling_jobkit_spark.operators.dedup import spread_for_compute
-    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+    from docling_jobkit_spark.operators.slices import extract_pdf_documents_sliced
 
     gen_schema = T.StructType(
         [
@@ -2876,7 +2878,9 @@ def _q_pdf_extract(spark, sf_dir):
                 # long tail, not everywhere
                 if len(norm) >= 380 and len(paras[0]) >= 150 and len(paras[1]) >= 150:
                     pages = [g.Page.of([g.para(paras[0])], [g.para(paras[1])], title=title)]
-                elif doc_id % 4 == 0:
+                elif doc_id % 5 == 1:
+                    # two-page docs (the %4==1 sample makes %4==0 empty —
+                    # key the paged branch on a class the sample contains)
                     pages = [g.Page.of(blocks[:2]), g.Page.of(blocks[2:])]
                 else:
                     pages = [g.Page.of(blocks)]
@@ -2897,7 +2901,12 @@ def _q_pdf_extract(spark, sf_dir):
         .select("doc_id", "text")
     )
     gen = docs.mapInPandas(_gen, schema=gen_schema).localCheckpoint(eager=False)
-    extracted = extract_pdf_documents(gen.select("url", "pdf"))
+    # the sliced composition: multi-page docs (doc_id % 4 == 0) take the
+    # real page-split fan-out (sub-PDF slices, spread, reassemble);
+    # everything else the direct map — output identical either way
+    extracted = extract_pdf_documents_sliced(
+        gen.select("url", "pdf"), pages_per_slice=1, slice_min_pages=2
+    )
     return (
         extracted.join(gen.select("doc_id", "url", "expected_text"), on="url")
         .select(

@@ -353,3 +353,150 @@ def extract_documents_sliced(
     # by construction
     sliced = with_document_identity(reassemble_slices(extract_slices(slices, profile)))
     return direct.unionByName(sliced)
+
+
+# ---------------------------------------------------------------------------
+# PDF slice fan-out — the same F1/F2 machinery over real page splits
+# (extractor/pdf.py::split_pdf builds self-contained sub-PDFs, so slice
+# rows ship slice-sized bytes exactly like the HTML path; reference:
+# single-PDF slice plan ``serve_deployment.py:437-464``)
+# ---------------------------------------------------------------------------
+def _split_pdf_batches(
+    batches: Iterator[pd.DataFrame], pages_per_slice: int
+) -> Iterator[pd.DataFrame]:
+    from docling_jobkit_spark.extractor.pdf import PdfParseError, split_pdf
+
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in SLICE_SCHEMA.fields}
+        for key, url, payload, doc_pages in zip(
+            pdf["_doc_key"], pdf["url"], pdf["pdf"], pdf["n_pages"]
+        ):
+            payload = bytes(payload)
+            try:
+                parts = split_pdf(payload, pages_per_slice)
+            except Exception:  # structurally unparseable: one full-payload
+                parts = [payload]  # slice; extract_pdf emits the failure row
+            for si, part in enumerate(parts):
+                out["_doc_key"].append(int(key))
+                out["url"].append(url)
+                out["slice_index"].append(si + 1)
+                out["slice_html"].append(part)  # schema-shared payload column
+                out["clean"].append(True)  # PDFs have no decode-partial state
+                out["page_lo"].append(si * pages_per_slice + 1)
+                out["page_hi"].append(
+                    min((si + 1) * pages_per_slice, int(doc_pages))
+                )
+                out["n_pages"].append(int(doc_pages))
+                out["n_bytes"].append(len(payload))
+        yield pd.DataFrame(out)
+
+
+def split_pdf_slices(big_docs: DataFrame, pages_per_slice: int) -> DataFrame:
+    """(_doc_key, url, pdf, n_pages) → one SLICE_SCHEMA row per sub-PDF
+    (``n_pages`` is the document total, from the router's structural
+    count — carried per slice so reassembly reports the true total). The
+    payload column keeps the schema's ``slice_html`` name so the spread /
+    reassembly stages are shared verbatim with the HTML path."""
+    cols = big_docs.select("_doc_key", "url", F.col("pdf"), "n_pages")
+    return cols.mapInPandas(
+        lambda it: _split_pdf_batches(it, pages_per_slice), schema=SLICE_SCHEMA
+    )
+
+
+def _extract_pdf_slice_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import re
+
+    from docling_jobkit_spark.extractor.extract import Span
+    from docling_jobkit_spark.extractor.pdf import extract_pdf
+
+    page_re = re.compile(r"^p(\d+)/")
+
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in SLICE_RESULT_SCHEMA.fields}
+        for key, url, sidx, payload, page_lo, n_pages, n_bytes in zip(
+            pdf["_doc_key"], pdf["url"], pdf["slice_index"], pdf["slice_html"],
+            pdf["page_lo"], pdf["n_pages"], pdf["n_bytes"],
+        ):
+            res = extract_pdf(bytes(payload), url)
+            spans = res.spans
+            if int(page_lo) > 1:
+                # sub-PDF pages renumber from 1; shift the span-path page
+                # prefix back to document numbering so sliced == single-shot
+                shift = int(page_lo) - 1
+                spans = [
+                    Span(
+                        s.start, s.end, s.kind,
+                        page_re.sub(lambda m: f"p{int(m.group(1)) + shift}/", s.path),
+                    )
+                    for s in spans
+                ]
+            out["_doc_key"].append(int(key))
+            out["url"].append(url)
+            out["slice_index"].append(int(sidx))
+            out["status"].append(res.status)
+            out["extracted_text"].append(res.text)
+            out["spans"].append(spans)
+            out["error"].append(res.error.as_dict() if res.error else None)
+            out["n_pages"].append(int(n_pages))
+            out["n_bytes"].append(int(n_bytes))
+            out["timings"].append(res.timings)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_slices(slices: DataFrame) -> DataFrame:
+    cols = slices.select(
+        "_doc_key", "url", "slice_index", "slice_html", "page_lo", "n_pages", "n_bytes"
+    )
+    return cols.mapInPandas(_extract_pdf_slice_batches, schema=SLICE_RESULT_SCHEMA)
+
+
+def extract_pdf_documents_sliced(
+    pages: DataFrame,
+    pages_per_slice: int = 2,
+    slice_min_pages: int = 3,
+    max_bytes: int | None = None,
+    payload_col: str = "pdf",
+    slice_partitions: int | None = None,
+) -> DataFrame:
+    """PDF twin of ``extract_documents_sliced``: multi-page PDFs above the
+    threshold split into self-contained sub-PDFs, spread across tasks,
+    extracted per slice, reassembled in slice order — byte-identical to
+    the single-shot path because PDF layout analysis is per-page and a
+    sub-PDF carries exactly its pages' object closure. Page counting
+    parses structure only (no content interpretation) inside a pandas
+    UDF; malformed payloads count 1 page and take the single-shot path
+    whose failure row is the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+
+    @pandas_udf("int")
+    def _page_count(payloads: pd.Series) -> pd.Series:
+        from docling_jobkit_spark.extractor.pdf import pdf_page_count
+
+        return payloads.map(
+            lambda b: pdf_page_count(bytes(b)) if b is not None else 1
+        )
+
+    renamed = pages.withColumnRenamed(payload_col, "pdf")
+    size_ok = (
+        F.lit(True) if max_bytes is None else (F.length("pdf") <= F.lit(max_bytes))
+    )
+    counted = renamed.withColumn("n_pages", _page_count(F.col("pdf")))
+    if "_doc_key" not in counted.columns:
+        # same determinism contract as the HTML router (see above)
+        counted = counted.withColumn("_doc_key", F.monotonically_increasing_id())
+    route_sliced = (
+        F.col("pdf").isNotNull()
+        & (F.col("n_pages") >= F.lit(slice_min_pages))
+        & size_ok
+    )
+    big = counted.filter(route_sliced)
+    small = counted.filter(~route_sliced).drop("n_pages", "_doc_key")
+
+    direct = extract_pdf_documents(small, max_bytes=max_bytes)
+    slices = spread_slices(split_pdf_slices(big, pages_per_slice), slice_partitions)
+    sliced = with_document_identity(reassemble_slices(extract_pdf_slices(slices)))
+    return direct.unionByName(sliced)

@@ -319,3 +319,67 @@ def test_spark_auto_routing_mixed_corpus(spark):
     # junk routes to the HTML extractor (no %PDF- magic): any structured
     # outcome is fine — the contract is rows, never task failures
     assert got["u://junk"]["status"] in ("SUCCESS", "PARTIAL_SUCCESS", "FAILURE")
+
+
+# ---------------------------------------------------------------------------
+# page splitting + sliced fan-out
+# ---------------------------------------------------------------------------
+def _threepage_spec():
+    return [
+        g.Page.of([g.heading("P1"), g.para("first page body with enough words here"),
+                   g.table([["a", "b"], ["1", "2"]])]),
+        g.Page.of([g.para("second page body text with several words"), g.figure()]),
+        g.Page.of([g.para("third page closing paragraph body words")]),
+    ]
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_split_pdf_slices_extract_to_full_document(k):
+    data = g.build_pdf(_threepage_spec(), compress=True)
+    full = extract_pdf(data)
+    parts = pdf.split_pdf(data, k)
+    assert len(parts) == (3 + k - 1) // k
+    texts = [extract_pdf(p).text for p in parts]
+    assert "\f".join(texts) == full.text
+    # each sub-PDF is self-contained: the figure slice carries the image
+    # object closure, the first slice its font
+    assert all(extract_pdf(p).status == "SUCCESS" for p in parts)
+
+
+def test_split_pdf_raises_on_unparseable():
+    with pytest.raises(pdf.PdfParseError):
+        pdf.split_pdf(b"%PDF-1.4 garbage with no objects", 1)
+
+
+def test_spark_pdf_sliced_matches_single_shot(spark):
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+    from docling_jobkit_spark.operators.slices import extract_pdf_documents_sliced
+
+    multi = g.build_pdf(_threepage_spec(), compress=True)
+    single = g.build_pdf([g.Page.of([g.para("one page doc body text")])])
+    corrupt = multi[16:]  # header stripped -> single-shot failure row
+    rows = [
+        ("u://a", multi), ("u://b", single),
+        ("u://dup", multi), ("u://dup", single),  # duplicate url, distinct payloads
+        ("u://bad", corrupt),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "pdf"]), schema="url string, pdf binary"
+    )
+    sliced = extract_pdf_documents_sliced(df, pages_per_slice=1, slice_min_pages=2)
+    direct = extract_pdf_documents(df)
+
+    def key(r):
+        return (r["url"], r["n_bytes"], r["extracted_text"])
+
+    got = sorted(
+        ((r["url"], r["status"], r["extracted_text"], r["n_pages"],
+          [tuple(s) for s in r["spans"]], r["content_hash"])
+         for r in sliced.collect())
+    )
+    want = sorted(
+        ((r["url"], r["status"], r["extracted_text"], r["n_pages"],
+          [tuple(s) for s in r["spans"]], r["content_hash"])
+         for r in direct.collect())
+    )
+    assert got == want
