@@ -383,3 +383,31 @@ def test_spark_pdf_sliced_matches_single_shot(spark):
          for r in direct.collect())
     )
     assert got == want
+
+
+def test_warc_pdf_mixed_corpus_composes_with_auto_router(spark, tmp_path):
+    """Common-Crawl shape: a .warc.gz shard holding BOTH html and pdf
+    response payloads scans through read_warc and converts in one pass
+    via the content-sniffing router — the mixed-format crawl loop."""
+    from docling_jobkit_spark.operators.extract_op import extract_documents_auto
+    from docling_jobkit_spark.sources.warc import read_warc, write_warc
+
+    pdf_bytes = g.build_pdf([g.Page.of([g.para("warc pdf body text")])], compress=True)
+    html_bytes = (b"<html><body><p>a kept html paragraph with enough "
+                  b"characters to classify as good</p></body></html>")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("w://pdf", pdf_bytes), ("w://html", html_bytes)],
+            columns=["url", "html"],
+        ),
+        schema="url string, html binary",
+    )
+    out = str(tmp_path / "warc_mixed")
+    write_warc(df.repartition(1), out)
+    records = read_warc(spark, out).where("warc_type = 'response'")
+    pages = records.select(
+        records["target_uri"].alias("url"), records["payload"].alias("html")
+    )
+    got = {r["url"]: r for r in extract_documents_auto(pages).collect()}
+    assert got["w://pdf"]["extracted_text"] == "warc pdf body text"
+    assert "a kept html paragraph" in got["w://html"]["extracted_text"]
