@@ -1173,8 +1173,10 @@ def pdf_page_count(data: bytes) -> int:
         return 1
 
 
-def split_pdf(data: bytes, pages_per_slice: int) -> list[bytes]:
-    """Split into self-contained sub-PDFs of <= pages_per_slice pages.
+def split_pdf(data: bytes, pages_per_slice: int) -> tuple[list[bytes], int]:
+    """Split into self-contained sub-PDFs of <= pages_per_slice pages;
+    returns (slices, exact total page count — the authoritative figure
+    for slice rows, independent of the JVM routing estimate).
 
     Each sub-PDF copies exactly the objects reachable from its pages'
     Resources/Contents (streams re-emitted byte-exact, still compressed),
@@ -1188,7 +1190,7 @@ def split_pdf(data: bytes, pages_per_slice: int) -> list[bytes]:
     out: list[bytes] = []
     for lo in range(0, len(nodes), k):
         out.append(_build_sub_pdf(doc, nodes[lo : lo + k]))
-    return out
+    return out, len(nodes)
 
 
 def _build_sub_pdf(doc: PdfDocument, nodes: list[tuple[dict, dict]]) -> bytes:

@@ -361,21 +361,58 @@ def extract_documents_sliced(
 # rows ship slice-sized bytes exactly like the HTML path; reference:
 # single-PDF slice plan ``serve_deployment.py:437-464``)
 # ---------------------------------------------------------------------------
+def _occurrences(s: Column, needle: str) -> Column:
+    """Non-overlapping substring count as a length difference (the
+    page_count_col technique: replace-and-measure, no per-page substring
+    materialization, pure codegen)."""
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def pdf_page_count_col(payload_col="pdf") -> Column:
+    """JVM-side PDF page-count ESTIMATE for slice routing: occurrences of
+    the page-leaf marker ``/Type /Page`` (both spacings) minus the
+    ``/Type /Pages`` tree nodes the shorter needle also matches, over the
+    unchecked binary→string wrap. Payloads missing the ``%PDF-`` magic
+    estimate 1 (single-shot admission handles them). Counting bytes this
+    way can miss pages (object-stream PDFs) or over-count (the marker
+    inside compressed data) — both mis-routes are output-identical, see
+    ``extract_pdf_documents_sliced``; exact counting stays in the Python
+    ``pdf_page_count`` used by the splitter itself."""
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    s = c.cast("string")
+    est = (
+        _occurrences(s, "/Type /Page")
+        - _occurrences(s, "/Type /Pages")
+        + _occurrences(s, "/Type/Page")
+        - _occurrences(s, "/Type/Pages")
+    )
+    looks_pdf = F.instr(F.substring(s, 1, 1100), "%PDF-") > 0
+    return (
+        F.when(c.isNull() | ~looks_pdf, F.lit(1))
+        .otherwise(F.greatest(est, F.lit(1)))
+        .cast("int")
+    )
+
+
 def _split_pdf_batches(
     batches: Iterator[pd.DataFrame], pages_per_slice: int
 ) -> Iterator[pd.DataFrame]:
-    from docling_jobkit_spark.extractor.pdf import PdfParseError, split_pdf
+    from docling_jobkit_spark.extractor.pdf import pdf_page_count, split_pdf
 
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in SLICE_SCHEMA.fields}
-        for key, url, payload, doc_pages in zip(
-            pdf["_doc_key"], pdf["url"], pdf["pdf"], pdf["n_pages"]
-        ):
+        for key, url, payload in zip(pdf["_doc_key"], pdf["url"], pdf["pdf"]):
             payload = bytes(payload)
             try:
-                parts = split_pdf(payload, pages_per_slice)
-            except Exception:  # structurally unparseable: one full-payload
-                parts = [payload]  # slice; extract_pdf emits the failure row
+                parts, doc_pages = split_pdf(payload, pages_per_slice)
+            except Exception:
+                # split failed (unparseable OR unserializable): degrade to
+                # one full-payload slice — its extraction row IS the
+                # single-shot row; count pages exactly so a slice that
+                # still extracts reports the single-shot n_pages
+                parts, doc_pages = [payload], pdf_page_count(payload)
             for si, part in enumerate(parts):
                 out["_doc_key"].append(int(key))
                 out["url"].append(url)
@@ -392,12 +429,12 @@ def _split_pdf_batches(
 
 
 def split_pdf_slices(big_docs: DataFrame, pages_per_slice: int) -> DataFrame:
-    """(_doc_key, url, pdf, n_pages) → one SLICE_SCHEMA row per sub-PDF
-    (``n_pages`` is the document total, from the router's structural
-    count — carried per slice so reassembly reports the true total). The
-    payload column keeps the schema's ``slice_html`` name so the spread /
+    """(_doc_key, url, pdf) → one SLICE_SCHEMA row per sub-PDF; the
+    carried ``n_pages`` is the EXACT total from the split's own parse
+    (the JVM routing estimate never reaches output rows). The payload
+    column keeps the schema's ``slice_html`` name so the spread /
     reassembly stages are shared verbatim with the HTML path."""
-    cols = big_docs.select("_doc_key", "url", F.col("pdf"), "n_pages")
+    cols = big_docs.select("_doc_key", "url", F.col("pdf"))
     return cols.mapInPandas(
         lambda it: _split_pdf_batches(it, pages_per_slice), schema=SLICE_SCHEMA
     )
@@ -464,27 +501,24 @@ def extract_pdf_documents_sliced(
     threshold split into self-contained sub-PDFs, spread across tasks,
     extracted per slice, reassembled in slice order — byte-identical to
     the single-shot path because PDF layout analysis is per-page and a
-    sub-PDF carries exactly its pages' object closure. Page counting
-    parses structure only (no content interpretation) inside a pandas
-    UDF; malformed payloads count 1 page and take the single-shot path
-    whose failure row is the oracle."""
-    from pyspark.sql.functions import pandas_udf
+    sub-PDF carries exactly its pages' object closure.
 
+    ROUTING is a pure-JVM structural estimate (``pdf_page_count_col``),
+    not a Python parse: at corpus scale an admission-path pandas UDF
+    would pay a full object scan per document just to pick a branch.
+    The estimate is allowed to be wrong in either direction because both
+    mis-routes are output-identical: an undercount sends a multi-page
+    doc to the single-shot map (the oracle itself); an overcount slices
+    a document into one slice or fails the split, which degrades to a
+    single full-payload slice whose extraction row reassembles to the
+    single-shot row (FAILURE rows pin n_pages=1 on both paths)."""
     from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
-
-    @pandas_udf("int")
-    def _page_count(payloads: pd.Series) -> pd.Series:
-        from docling_jobkit_spark.extractor.pdf import pdf_page_count
-
-        return payloads.map(
-            lambda b: pdf_page_count(bytes(b)) if b is not None else 1
-        )
 
     renamed = pages.withColumnRenamed(payload_col, "pdf")
     size_ok = (
         F.lit(True) if max_bytes is None else (F.length("pdf") <= F.lit(max_bytes))
     )
-    counted = renamed.withColumn("n_pages", _page_count(F.col("pdf")))
+    counted = renamed.withColumn("n_pages", pdf_page_count_col("pdf"))
     if "_doc_key" not in counted.columns:
         # same determinism contract as the HTML router (see above)
         counted = counted.withColumn("_doc_key", F.monotonically_increasing_id())

@@ -337,7 +337,8 @@ def _threepage_spec():
 def test_split_pdf_slices_extract_to_full_document(k):
     data = g.build_pdf(_threepage_spec(), compress=True)
     full = extract_pdf(data)
-    parts = pdf.split_pdf(data, k)
+    parts, n_total = pdf.split_pdf(data, k)
+    assert n_total == 3
     assert len(parts) == (3 + k - 1) // k
     texts = [extract_pdf(p).text for p in parts]
     assert "\f".join(texts) == full.text
@@ -411,3 +412,24 @@ def test_warc_pdf_mixed_corpus_composes_with_auto_router(spark, tmp_path):
     got = {r["url"]: r for r in extract_documents_auto(pages).collect()}
     assert got["w://pdf"]["extracted_text"] == "warc pdf body text"
     assert "a kept html paragraph" in got["w://html"]["extracted_text"]
+
+
+def test_jvm_page_count_estimate_matches_exact_on_wellformed(spark):
+    from docling_jobkit_spark.operators.slices import pdf_page_count_col
+
+    fixtures = [
+        g.build_pdf(_threepage_spec(), compress=True),          # 3 pages
+        g.build_pdf([g.Page.of([g.para("one page")])]),         # 1 page
+        g.build_pdf([g.Page.of([g.para("a")]) for _ in range(5)]),  # 5 pages
+        b"not a pdf at all",                                    # -> 1
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, b) for i, b in enumerate(fixtures)], columns=["i", "pdf"]
+        ),
+        schema="i int, pdf binary",
+    )
+    got = {r["i"]: r["est"] for r in
+           df.select("i", pdf_page_count_col("pdf").alias("est")).collect()}
+    exact = [pdf.pdf_page_count(b) for b in fixtures]
+    assert [got[i] for i in range(4)] == exact == [3, 1, 5, 1]
