@@ -433,3 +433,35 @@ def test_jvm_page_count_estimate_matches_exact_on_wellformed(spark):
            df.select("i", pdf_page_count_col("pdf").alias("est")).collect()}
     exact = [pdf.pdf_page_count(b) for b in fixtures]
     assert [got[i] for i in range(4)] == exact == [3, 1, 5, 1]
+
+
+def test_seeded_mutation_fuzz_never_raises_and_is_deterministic():
+    """Failures-are-rows under arbitrary corruption: 150 seeded random
+    mutations of a valid compressed PDF (byte flips, deletes, inserts)
+    plus systematic truncations must all return a structured result, and
+    extraction must be bit-deterministic on every one of them."""
+    import random
+
+    base = g.build_pdf(
+        [g.Page.of([g.heading("T"), g.para("body text here with words"),
+                    g.table([["a", "b"], ["1", "2"]]), g.figure()])],
+        compress=True,
+    )
+    rng = random.Random(42)
+    for _ in range(150):
+        data = bytearray(base)
+        for _m in range(rng.randint(1, 30)):
+            op = rng.random()
+            pos = rng.randrange(len(data))
+            if op < 0.5:
+                data[pos] = rng.randrange(256)
+            elif op < 0.75:
+                del data[pos]
+            else:
+                data.insert(pos, rng.randrange(256))
+        payload = bytes(data)
+        a = extract_pdf(payload)
+        b = extract_pdf(payload)
+        assert (a.status, a.text, a.spans, a.error) == (b.status, b.text, b.spans, b.error)
+    for cut in range(0, len(base), 97):
+        assert extract_pdf(base[:cut]).status in ("SUCCESS", "FAILURE")
