@@ -15,7 +15,9 @@ Scope (documented subset, everything deterministic):
 - **object layer**: tolerant ``N 0 obj … endobj`` scan (no xref trust — a
   broken xref table never fails a document), nested dict/array/name/string
   values, indirect references, streams with direct ``/Length`` (fallback:
-  ``endstream`` search), filters Flate (stdlib zlib) + ASCIIHex + none;
+  ``endstream`` search), filters Flate (stdlib zlib) + ASCIIHex + none,
+  PDF 1.5+ ``/ObjStm`` object streams (packed non-stream objects — the
+  modern-writer layout) expanded after the scan;
 - **document layer**: trailer ``/Root`` → ``/Pages`` tree walk with
   attribute inheritance and cycle guard; fallback to ``/Type /Page``
   objects in object-number order when the catalog is missing;
@@ -335,6 +337,7 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.objects: dict[int, tuple[object, bytes | None]] = {}
         self._scan(data)
+        self._expand_object_streams()
         self._trailer_root = self._find_root(data)
 
     # -- object scan ------------------------------------------------------
@@ -368,6 +371,43 @@ class PdfDocument:
             # incremental updates put the NEWER object later, but without
             # xref trust the deterministic choice is documented: first)
             self.objects.setdefault(num, (val, raw))
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ object streams (spec 7.5.7): a ``/Type /ObjStm``
+        stream packs non-stream objects as ``num offset`` header pairs
+        followed by the object bodies — the layout virtually every
+        modern writer emits. Decode each one and register its embedded
+        objects (existing top-level definitions win, matching the
+        first-definition-wins scan policy). A malformed object stream is
+        skipped, never fatal — the tolerant-scan posture."""
+        for num in sorted(self.objects):
+            val, raw = self.objects[num]
+            if raw is None or not isinstance(val, dict):
+                continue
+            if val.get("Type") != "ObjStm":
+                continue
+            try:
+                data = self._decode_stream(val, raw)
+                n = self.resolve(val.get("N"))
+                first = self.resolve(val.get("First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                head = _Lexer(data[:first])
+                pairs: list[tuple[int, int]] = []
+                for _ in range(n):
+                    onum = head.parse_value(allow_ref=False)
+                    off = head.parse_value(allow_ref=False)
+                    if not isinstance(onum, int) or not isinstance(off, int):
+                        raise PdfParseError("bad ObjStm header pair")
+                    pairs.append((onum, off))
+                for onum, off in pairs:
+                    try:
+                        inner = _Lexer(data, first + off).parse_value()
+                    except PdfParseError:
+                        continue
+                    self.objects.setdefault(onum, (inner, None))
+            except (PdfParseError, zlib.error):
+                continue
 
     @staticmethod
     def _skip_eol(data: bytes, p: int) -> int:

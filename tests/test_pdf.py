@@ -465,3 +465,35 @@ def test_seeded_mutation_fuzz_never_raises_and_is_deterministic():
         assert (a.status, a.text, a.spans, a.error) == (b.status, b.text, b.spans, b.error)
     for cut in range(0, len(base), 97):
         assert extract_pdf(base[:cut]).status in ("SUCCESS", "FAILURE")
+
+
+def test_object_stream_packed_objects_are_read():
+    """PDF 1.5+ layout: the page and font dicts live INSIDE a compressed
+    /Type /ObjStm object stream (the layout virtually every modern
+    writer emits); only the catalog, pages node, content stream, and the
+    object stream itself are top-level objects."""
+    content = line(b"packed objects work")
+    page = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    header = b"3 0 5 %d " % (len(page) + 1)
+    body = header + page + b" " + font
+    first = len(header)
+    packed = zlib.compress(body)
+    objstm = (b"<< /Type /ObjStm /N 2 /First %d /Filter /FlateDecode "
+              b"/Length %d >>\nstream\n%s\nendstream" % (first, len(packed), packed))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        6: objstm,
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\nendobj\n" % (num, objs[num])
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    res = extract_pdf(bytes(out))
+    assert res.status == "SUCCESS"
+    assert res.text == "packed objects work"
