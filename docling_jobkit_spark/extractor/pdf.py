@@ -587,8 +587,165 @@ def _decode_text(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+class _FontInfo(NamedTuple):
+    """Per-font decode + metrics resolved once per document.
+
+    ``cmap``: ToUnicode code→string map (None = byte decode);
+    ``two_byte``: Type0/CID fonts consume 2-byte codes;
+    ``widths``: code→glyph width in 1/1000 text units (None = no metrics);
+    ``default_width``: /DW (Type0) or None. A missing width falls back to
+    500/1000 = the module's 0.5×size model, so metric-less fonts behave
+    exactly as before."""
+
+    cmap: dict[int, str] | None
+    two_byte: bool
+    widths: dict[int, float] | None
+    default_width: float | None
+
+
+_NO_FONT = _FontInfo(None, False, None, None)
+
+
+def _parse_hex_units(hx: str) -> str:
+    """UTF-16BE code units from a CMap hex destination (<0066006C> → 'fl');
+    odd 2-digit singles (<66>) are taken as one unit."""
+    hx = hx.strip()
+    if len(hx) % 4 == 2 and len(hx) > 2:
+        hx = "00" + hx  # tolerate sloppy odd-unit strings
+    if len(hx) <= 2:
+        return chr(int(hx, 16)) if hx else ""
+    return "".join(chr(int(hx[i : i + 4], 16)) for i in range(0, len(hx), 4))
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap (spec 9.10.3). The
+    surrounding PostScript scaffolding is ignored; each section body is
+    read with the shared lexer (hex strings + arrays), so both bfrange
+    forms — incrementing <lo> <hi> <dst> and explicit <lo> <hi> [..] —
+    parse without regex ambiguity."""
+    out: dict[int, str] = {}
+
+    def _hex_of(v) -> str:
+        return bytes(v).hex().upper() if isinstance(v, (bytes, bytearray)) else ""
+
+    for open_kw, close_kw in ((b"beginbfchar", b"endbfchar"),
+                              (b"beginbfrange", b"endbfrange")):
+        pos = 0
+        while True:
+            i = data.find(open_kw, pos)
+            if i < 0:
+                break
+            j = data.find(close_kw, i)
+            if j < 0:
+                break
+            lex = _Lexer(data[i + len(open_kw) : j])
+            try:
+                while True:
+                    lex.skip_ws()
+                    if lex.pos >= lex.n:
+                        break
+                    lo = lex.parse_value(allow_ref=False)
+                    if open_kw == b"beginbfchar":
+                        dst = lex.parse_value(allow_ref=False)
+                        if isinstance(lo, (bytes, bytearray)):
+                            out[int(_hex_of(lo) or "0", 16)] = _parse_hex_units(
+                                _hex_of(dst)
+                            )
+                        continue
+                    hi = lex.parse_value(allow_ref=False)
+                    dst = lex.parse_value(allow_ref=False)
+                    if not isinstance(lo, (bytes, bytearray)):
+                        continue
+                    lo_i = int(_hex_of(lo) or "0", 16)
+                    hi_i = int(_hex_of(hi) or "0", 16) if isinstance(hi, (bytes, bytearray)) else lo_i
+                    if isinstance(dst, list):  # explicit destination array
+                        for off, d in enumerate(dst):
+                            out[lo_i + off] = _parse_hex_units(_hex_of(d))
+                    elif isinstance(dst, (bytes, bytearray)):
+                        units = _parse_hex_units(_hex_of(dst))
+                        for off in range(hi_i - lo_i + 1):
+                            if units:
+                                out[lo_i + off] = units[:-1] + chr(
+                                    ord(units[-1]) + off
+                                )
+            except PdfParseError:
+                pass  # malformed section: keep what parsed
+            pos = j + len(close_kw)
+    return out
+
+
+def _parse_cid_widths(w_list: list, doc: PdfDocument) -> dict[int, float]:
+    """Type0 /W array (spec 9.7.4.3): ``c [w1 w2 ...]`` or ``c1 c2 w``."""
+    out: dict[int, float] = {}
+    i = 0
+    vals = [doc.resolve(v) for v in w_list]
+    while i < len(vals):
+        c = vals[i]
+        if not isinstance(c, (int, float)):
+            break
+        if i + 1 < len(vals) and isinstance(vals[i + 1], list):
+            for off, w in enumerate(vals[i + 1]):
+                if isinstance(w, (int, float)):
+                    out[int(c) + off] = float(w)
+            i += 2
+        elif i + 2 < len(vals):
+            c2, w = vals[i + 1], vals[i + 2]
+            if isinstance(c2, (int, float)) and isinstance(w, (int, float)):
+                for code in range(int(c), int(c2) + 1):
+                    out[code] = float(w)
+            i += 3
+        else:
+            break
+    return out
+
+
+def _font_info(doc: PdfDocument, resources: dict, name: str) -> _FontInfo:
+    fonts = doc.resolve(resources.get("Font")) or {}
+    ref = fonts.get(name) if isinstance(fonts, dict) else None
+    cache: dict = getattr(doc, "_font_cache", None)
+    if cache is None:
+        cache = doc._font_cache = {}
+    key = ref.num if isinstance(ref, Ref) else (name, id(resources))
+    if key in cache:
+        return cache[key]
+    info = _NO_FONT
+    fd = doc.resolve(ref)
+    if isinstance(fd, dict):
+        two_byte = fd.get("Subtype") == "Type0"
+        cmap = None
+        tu = fd.get("ToUnicode")
+        if isinstance(tu, Ref):
+            try:
+                cmap = _parse_tounicode(doc.stream_bytes(tu)) or None
+            except PdfParseError:
+                cmap = None
+        widths: dict[int, float] | None = None
+        default_width: float | None = None
+        if two_byte:
+            desc = doc.resolve(fd.get("DescendantFonts"))
+            d0 = doc.resolve(desc[0]) if isinstance(desc, list) and desc else None
+            if isinstance(d0, dict):
+                dw = doc.resolve(d0.get("DW"))
+                default_width = float(dw) if isinstance(dw, (int, float)) else 1000.0
+                wl = doc.resolve(d0.get("W"))
+                if isinstance(wl, list):
+                    widths = _parse_cid_widths(wl, doc)
+        else:
+            wl = doc.resolve(fd.get("Widths"))
+            first = doc.resolve(fd.get("FirstChar"))
+            if isinstance(wl, list) and isinstance(first, int):
+                widths = {
+                    first + i: float(w)
+                    for i, w in enumerate(doc.resolve(v) for v in wl)
+                    if isinstance(w, (int, float))
+                }
+        info = _FontInfo(cmap, two_byte, widths, default_width)
+    cache[key] = info
+    return info
+
+
 class _TextState:
-    __slots__ = ("size", "leading", "char_sp", "word_sp", "hscale", "mode")
+    __slots__ = ("size", "leading", "char_sp", "word_sp", "hscale", "mode", "font")
 
     def __init__(self):
         self.size = 0.0
@@ -597,6 +754,7 @@ class _TextState:
         self.word_sp = 0.0
         self.hscale = 1.0
         self.mode = 0
+        self.font = _NO_FONT
 
 
 def _interpret(
@@ -634,29 +792,54 @@ def _interpret(
             size_cp = 1
         runs.append(Run(int(round(dx * CP)), int(round(dy * CP)), size_cp, text))
 
-    def advance(text: str, extra_kern_ts: float = 0.0) -> float:
-        """Unpositioned advance in text space (documented width model)."""
+    def decode_piece(raw: bytes) -> tuple[str, float]:
+        """(text, advance in text space) for one shown string. Widths come
+        from the font's metrics when present; a missing width falls back
+        to 500/1000 — identical to the module's 0.5×size model, so
+        metric-less documents are unchanged."""
+        f = ts.font
+        if f.cmap is not None:
+            step = 2 if f.two_byte else 1
+            chars: list[str] = []
+            w = 0.0
+            for i in range(0, len(raw) - (len(raw) % step), step):
+                code = int.from_bytes(raw[i : i + step], "big")
+                chars.append(f.cmap.get(code, "�"))
+                cw = None
+                if f.widths is not None:
+                    cw = f.widths.get(code)
+                if cw is None:
+                    cw = f.default_width if f.default_width is not None else 500.0
+                w += cw / 1000.0 * ts.size + ts.char_sp
+                if step == 1 and code == 32:  # word spacing: 1-byte code 32 only
+                    w += ts.word_sp
+            return "".join(chars), w
+        text = _decode_text(raw)
         w = 0.0
-        per_char = ts.size * (CHAR_ADVANCE_PCT / 100.0)
         for ch in text:
-            w += per_char + ts.char_sp
+            cw = f.widths.get(ord(ch)) if f.widths is not None else None
+            if cw is None:
+                cw = float(CHAR_ADVANCE_PCT) * 10.0  # 500/1000 model
+            w += cw / 1000.0 * ts.size + ts.char_sp
             if ch == " ":
                 w += ts.word_sp
-        return (w + extra_kern_ts) * ts.hscale
+        return text, w
 
     def show(parts_and_kerns: list) -> None:
         # one run per show op; kerns below -TJ_SPACE_KERN become spaces
         raw_parts: list[str] = []
-        kern_ts = 0.0
+        width_ts = 0.0
         for item in parts_and_kerns:
             if isinstance(item, bytes):
-                raw_parts.append(_decode_text(item))
+                text, w = decode_piece(item)
+                raw_parts.append(text)
+                width_ts += w
             else:  # kern in thousandths of text space
-                kern_ts -= float(item) / 1000.0 * ts.size
+                width_ts -= float(item) / 1000.0 * ts.size
                 if float(item) <= -TJ_SPACE_KERN:
                     raw_parts.append(" ")
         emit(raw_parts, tm)
-        return advance("".join(raw_parts), kern_ts)
+        return width_ts * ts.hscale
 
     def translate_tm(tx: float, ty: float, line: bool):
         nonlocal tm, tlm
@@ -686,10 +869,10 @@ def _interpret(
             continue
         try:
             if op == "q":
-                gstack.append((ctm, ts.size, ts.leading, ts.char_sp, ts.word_sp, ts.hscale, ts.mode))
+                gstack.append((ctm, ts.size, ts.leading, ts.char_sp, ts.word_sp, ts.hscale, ts.mode, ts.font))
             elif op == "Q":
                 if gstack:
-                    ctm, ts.size, ts.leading, ts.char_sp, ts.word_sp, ts.hscale, ts.mode = gstack.pop()
+                    ctm, ts.size, ts.leading, ts.char_sp, ts.word_sp, ts.hscale, ts.mode, ts.font = gstack.pop()
             elif op == "cm" and len(stack) >= 6:
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mmul(m, ctm)
@@ -699,6 +882,8 @@ def _interpret(
                 pass
             elif op == "Tf" and len(stack) >= 1:
                 ts.size = float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-2], Name):
+                    ts.font = _font_info(doc, resources, str(stack[-2]))
             elif op == "TL" and stack:
                 ts.leading = float(stack[-1])
             elif op == "Tc" and stack:

@@ -497,3 +497,52 @@ def test_object_stream_packed_objects_are_read():
     res = extract_pdf(bytes(out))
     assert res.status == "SUCCESS"
     assert res.text == "packed objects work"
+
+
+def test_type0_cid_font_decodes_via_tounicode_cmap():
+    """Modern embedded-subset-font PDFs: 2-byte CID codes are opaque
+    without the /ToUnicode CMap. Covers bfchar, the incrementing bfrange
+    form, and the explicit-array bfrange form."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"3 beginbfchar\n"
+            b"<0001> <0048>\n<0002> <0065>\n<0003> <006C>\n"
+            b"endbfchar\n"
+            b"2 beginbfrange\n"
+            b"<0004> <0005> <006F>\n"
+            b"<0006> <0007> [<0041> <00420043>]\n"
+            b"endbfrange\nendcmap\nend")
+    content = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm "
+               b"<000100020003000300040005> Tj ET\n"
+               b"BT /F1 10 Tf 1 0 0 1 72 680 Tm <00060007> Tj ET")
+    extra = {
+        6: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+CID "
+            b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+            b"/ToUnicode 8 0 R >>"),
+        7: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Sub+CID "
+            b"/DW 600 /W [1 [500 600 700]] >>"),
+        8: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    }
+    res = extract_pdf(mini_pdf(content, extra, b"<< /Font << /F1 6 0 R >> >>"))
+    assert res.status == "SUCCESS"
+    # 20pt between baselines at 10pt font > the 1.8x block-gap: two blocks
+    assert res.text == "Hellop\n\nABC"
+
+
+def test_simple_font_widths_drive_unpositioned_advance():
+    """A /Widths simple font changes Tj advance: with 250/1000 glyphs,
+    two consecutive Tj ops touch (no word gap); with 900/1000 glyphs the
+    second lands far right (cell gap -> the line becomes multi-cell but
+    degrades to a spaced text line, still one line)."""
+    def doc(widths):
+        extra = {
+            6: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/FirstChar 97 /LastChar 99 /Widths [%s] >>" % widths),
+        }
+        content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (aa) Tj (bb) Tj ET"
+        return mini_pdf(content, extra, b"<< /Font << /F1 6 0 R >> >>")
+
+    narrow = extract_pdf(doc(b"250 250 250"))
+    wide = extract_pdf(doc(b"2000 2000 2000"))
+    assert narrow.text == "aabb"      # 2*2.5pt advance -> adjacent
+    assert wide.text == "aa bb"       # 2*20pt advance -> gap -> space
