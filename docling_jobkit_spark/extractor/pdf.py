@@ -26,6 +26,12 @@ Scope (documented subset, everything deterministic):
   composition, Form-XObject recursion (``Do`` with ``/Matrix``, depth
   capped), Image XObjects + inline images (``BI…EI``) become figure
   regions, invisible text (``Tr 3``, OCR layers) advances but never emits;
+  composite (Type0/CID) fonts decode through their ``/ToUnicode`` CMap
+  (bfchar + both bfrange forms) and advance by ``/W``//``/DW`` metrics,
+  simple fonts by ``/Widths`` — a missing width falls back to the
+  500/1000 model; UTF-16BE BOM strings decode per spec 7.9.2.2;
+  encrypted documents (``/Encrypt``) refuse with a POLICY failure row
+  instead of emitting ciphertext-garbled text;
 - **layout layer** (the "PDF layout analysis with reading-order
   reconstruction" of the north star): device-space runs quantized to
   integer centipoints → baseline line clustering → column detection via a
@@ -339,6 +345,30 @@ class PdfDocument:
         self._scan(data)
         self._expand_object_streams()
         self._trailer_root = self._find_root(data)
+        # strings/streams of an encrypted file are RC4/AES ciphertext:
+        # extracting would emit deterministic garbage — refuse honestly
+        # (POLICY failure row), checking both trailer forms (the
+        # ``trailer`` keyword and the PDF 1.5 /Type /XRef stream dict)
+        self._encrypted = self._has_encrypt(data)
+
+    def _has_encrypt(self, data: bytes) -> bool:
+        pos = 0
+        while True:
+            idx = data.find(b"trailer", pos)
+            if idx < 0:
+                break
+            try:
+                tr = _Lexer(data, idx + 7).parse_value()
+                if isinstance(tr, dict) and "Encrypt" in tr:
+                    return True
+            except PdfParseError:
+                pass
+            pos = idx + 7
+        for _num, (val, raw) in self.objects.items():
+            if raw is not None and isinstance(val, dict) and val.get("Type") == "XRef":
+                if "Encrypt" in val:
+                    return True
+        return False
 
     # -- object scan ------------------------------------------------------
     def _scan(self, data: bytes) -> None:
@@ -481,6 +511,8 @@ class PdfDocument:
     def page_nodes(self) -> list[tuple[dict, dict]]:
         """(raw page dict, inherited attrs) per page, document order —
         the structural view ``split_pdf`` re-serializes from."""
+        if self._encrypted:
+            raise PdfParseError("encrypted PDF (strings/streams are ciphertext)")
         root = self.resolve(self._trailer_root)
         if not isinstance(root, dict):
             for num in sorted(self.objects):  # fallback: scan for a catalog
@@ -578,9 +610,12 @@ def _mmul(m1, m2):
 
 
 def _decode_text(raw: bytes) -> str:
-    """UTF-8 first (the generator contract), latin-1 fallback — total and
+    """UTF-16BE when BOM-prefixed (spec 7.9.2.2 text strings), else UTF-8
+    first (the generator contract) with latin-1 fallback — total and
     deterministic for every byte sequence; plain-ASCII simple-font PDFs
-    (the web-corpus common case) decode identically under both."""
+    (the web-corpus common case) decode identically either way."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:

@@ -546,3 +546,20 @@ def test_simple_font_widths_drive_unpositioned_advance():
     wide = extract_pdf(doc(b"2000 2000 2000"))
     assert narrow.text == "aabb"      # 2*2.5pt advance -> adjacent
     assert wide.text == "aa bb"       # 2*20pt advance -> gap -> space
+
+
+def test_encrypted_pdf_is_refused_with_policy_row():
+    """An /Encrypt trailer means strings/streams are ciphertext —
+    extraction must refuse (POLICY row), not emit deterministic
+    garbage."""
+    data = g.build_pdf([g.Page.of([g.para("secret")])])
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    res = extract_pdf(enc)
+    assert res.status == "FAILURE"
+    assert "encrypted" in res.error.message
+
+
+def test_utf16be_bom_string_decodes():
+    # U+0048 U+00E9 -> "Hé" as a BOM-prefixed UTF-16BE literal string
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <FEFF004800E9> Tj ET"
+    assert extract_pdf(mini_pdf(content)).text == "Hé"
