@@ -44,12 +44,19 @@ from docling_jobkit_spark.metrics import (
     with_lineage,
 )
 from docling_jobkit_spark.operators.admission import admission_split
-from docling_jobkit_spark.operators.extract_op import extract_documents
+from docling_jobkit_spark.operators.extract_op import (
+    extract_documents,
+    extract_documents_auto,
+    extract_pdf_documents,
+)
 from docling_jobkit_spark.operators.partitioning import (
     salted_repartition,
     url_bucket_col,
 )
-from docling_jobkit_spark.operators.slices import extract_documents_sliced
+from docling_jobkit_spark.operators.slices import (
+    extract_documents_sliced,
+    extract_pdf_documents_sliced,
+)
 
 
 @dataclass
@@ -69,6 +76,14 @@ class PipelineConfig:
     # of oversized docs, and keep the payload bytes off the shuffle.
     repartition: bool = True
     profile: str = "default"                   # extraction preset (T3 registry)
+    # payload routing for the binary column: "html" (default), "pdf"
+    # (the whole corpus is PDFs), or "auto" (per-row %PDF- content
+    # sniff — Common-Crawl WARC payload mixes; the reference resolves a
+    # backend per document, manager.py:1554-1565). NOTE: the admission
+    # max_pages gate counts PAGE_BREAK markers, so PDF payloads pass it
+    # as single-page — giant PDFs are still bounded by max_bytes and by
+    # the slice fan-out.
+    payload_format: str = "html"
 
 
 class ExtractionPipeline:
@@ -105,16 +120,55 @@ class ExtractionPipeline:
             )
         if cfg.repartition:
             admitted = salted_repartition(admitted, cfg.num_partitions, cfg.n_buckets)
-        if cfg.use_slicing:
-            extracted = extract_documents_sliced(
-                admitted,
-                pages_per_slice=cfg.pages_per_slice,
-                slice_min_pages=cfg.slice_min_pages,
-                profile=cfg.profile,
-            )
-        else:
-            extracted = extract_documents(admitted, profile=cfg.profile)
+        extracted = self._extract_routed(admitted)
         return extracted.unionByName(rejected)
+
+    def _extract_routed(self, admitted: DataFrame) -> DataFrame:
+        """Format routing × slice routing. For "auto", the corpus splits
+        on a pure-JVM magic sniff and each side takes its own slice
+        fan-out; both sides adopt the pre-assigned ``_doc_key``, so
+        reassembly identity survives the split."""
+        cfg = self.config
+        fmt = cfg.payload_format
+        if fmt == "html":
+            if cfg.use_slicing:
+                return extract_documents_sliced(
+                    admitted,
+                    pages_per_slice=cfg.pages_per_slice,
+                    slice_min_pages=cfg.slice_min_pages,
+                    profile=cfg.profile,
+                )
+            return extract_documents(admitted, profile=cfg.profile)
+        if fmt == "pdf":
+            if cfg.use_slicing:
+                return extract_pdf_documents_sliced(
+                    admitted,
+                    pages_per_slice=cfg.pages_per_slice,
+                    slice_min_pages=cfg.slice_min_pages,
+                    payload_col="html",
+                )
+            return extract_pdf_documents(admitted, payload_col="html")
+        if fmt != "auto":
+            raise ValueError(f"payload_format must be html|pdf|auto, got {fmt!r}")
+        if not cfg.use_slicing:
+            return extract_documents_auto(admitted, profile=cfg.profile)
+        c = F.col("html").cast("string")
+        looks_pdf = F.col("html").isNotNull() & (
+            F.instr(F.substring(c, 1, 1100), "%PDF-") > 0
+        )
+        html_side = extract_documents_sliced(
+            admitted.filter(~looks_pdf),
+            pages_per_slice=cfg.pages_per_slice,
+            slice_min_pages=cfg.slice_min_pages,
+            profile=cfg.profile,
+        )
+        pdf_side = extract_pdf_documents_sliced(
+            admitted.filter(looks_pdf),
+            pages_per_slice=cfg.pages_per_slice,
+            slice_min_pages=cfg.slice_min_pages,
+            payload_col="html",
+        )
+        return html_side.unionByName(pdf_side)
 
     # -- resumable run -------------------------------------------------
 

@@ -563,3 +563,44 @@ def test_utf16be_bom_string_decodes():
     # U+0048 U+00E9 -> "Hé" as a BOM-prefixed UTF-16BE literal string
     content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <FEFF004800E9> Tj ET"
     assert extract_pdf(mini_pdf(content)).text == "Hé"
+
+
+def test_pipeline_auto_format_mixed_corpus_with_resume(spark, tmp_path):
+    """The production pipeline (admission → salted repartition → sliced
+    extraction → commit groups → resume) over a MIXED html+pdf corpus
+    with payload_format='auto': per-row results equal the single-shot
+    extractors, and a rerun is a committed no-op."""
+    from docling_jobkit_spark.extractor.extract import extract as extract_html
+    from docling_jobkit_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+
+    multi_pdf = g.build_pdf(_threepage_spec(), compress=True)
+    one_pdf = g.build_pdf([g.Page.of([g.para("single page pdf body")])])
+    html = (b"<html><body><p>an html paragraph with enough characters "
+            b"to be kept by the block classifier</p></body></html>")
+    rows = [(f"u://{i}", [multi_pdf, one_pdf, html][i % 3]) for i in range(12)]
+    src = str(tmp_path / "mixed_pages.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "html"]),
+        schema="url string, html binary",
+    ).write.parquet(src)
+
+    cfg = PipelineConfig(
+        num_partitions=4, n_commit_groups=2, payload_format="auto",
+        pages_per_slice=1, slice_min_pages=2,
+    )
+    pipe = ExtractionPipeline(spark, cfg)
+    out = str(tmp_path / "out")
+    log = pipe.run(spark.read.parquet(src), out, run_id="mix1")
+    got = {r["url"]: r for r in log.committed_results(spark).collect()}
+    assert len(got) == 12
+    for url, payload in rows:
+        want = (extract_pdf(payload) if payload != html
+                else extract_html(payload))
+        assert got[url]["status"] == want.status
+        assert got[url]["extracted_text"] == want.text
+    # resume: rerun commits nothing new and returns the same snapshot
+    log2 = pipe.run(spark.read.parquet(src), out, run_id="mix1")
+    assert log2.committed_results(spark).count() == 12
