@@ -43,11 +43,16 @@ def stream_extract(
     input_dir: str,
     max_files_per_trigger: int | None = None,
     max_bytes: int | None = None,
+    payload_format: str = "html",
 ) -> DataFrame:
     """readStream over a pages directory → streaming extraction DF.
 
     ``max_files_per_trigger`` is the backpressure knob (the reference's
     per-tenant ``max_queued_tasks`` / admission gate, O8).
+    ``payload_format``: "html", "pdf", or "auto" (per-row content sniff)
+    — the batch pipeline's format routing; all three are plain
+    mapInPandas transforms, so they lift to Structured Streaming
+    unchanged.
     """
     reader = (
         spark.readStream.schema(PAGES_SCHEMA_DDL).format("parquet")
@@ -55,6 +60,14 @@ def stream_extract(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(input_dir)
+    if payload_format == "pdf":
+        from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+
+        return extract_pdf_documents(pages, max_bytes=max_bytes, payload_col="html")
+    if payload_format == "auto":
+        from docling_jobkit_spark.operators.extract_op import extract_documents_auto
+
+        return extract_documents_auto(pages, max_bytes=max_bytes)
     return extract_documents(pages, max_bytes=max_bytes)
 
 

@@ -604,3 +604,42 @@ def test_pipeline_auto_format_mixed_corpus_with_resume(spark, tmp_path):
     # resume: rerun commits nothing new and returns the same snapshot
     log2 = pipe.run(spark.read.parquet(src), out, run_id="mix1")
     assert log2.committed_results(spark).count() == 12
+
+
+def test_stream_extract_auto_routes_mixed_payloads(spark, tmp_path):
+    """Streaming twin of the format router: an AvailableNow drain over a
+    mixed html+pdf pages directory converts both formats exactly once."""
+    import os
+
+    from docling_jobkit_spark.streaming import start_file_stream, stream_extract
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    pdf_bytes = g.build_pdf([g.Page.of([g.para("streamed pdf body")])])
+    html = (b"<html><body><p>a streamed html paragraph long enough to "
+            b"be kept by the classifier</p></body></html>")
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one plain parquet FILE (the stream source lists files, not
+    # spark-writer directories — write_pages_parquet's shape)
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    table = pa.table({
+        "url": ["s://pdf", "s://html"],
+        "warc_ts": pa.array([ts, ts], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([pdf_bytes, html], pa.binary()),
+        "text": ["", ""],
+        "lang": ["en", "en"],
+    })
+    pq.write_table(table, f"{indir}/batch1.parquet")
+
+    q = start_file_stream(
+        stream_extract(spark, indir, payload_format="auto"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(180)
+    got = {r["url"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got["s://pdf"]["extracted_text"] == "streamed pdf body"
+    assert "a streamed html paragraph" in got["s://html"]["extracted_text"]
