@@ -643,3 +643,31 @@ def test_stream_extract_auto_routes_mixed_payloads(spark, tmp_path):
     got = {r["url"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got["s://pdf"]["extracted_text"] == "streamed pdf body"
     assert "a streamed html paragraph" in got["s://html"]["extracted_text"]
+
+
+def test_chunker_consumes_pdf_extraction_with_heading_sections(spark):
+    """Downstream composition: the hierarchical chunker consumes PDF
+    extraction rows unchanged — PDF heading spans become section
+    boundaries and propagate as chunk heading context."""
+    from docling_jobkit_spark.operators.chunker import chunk_documents
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+
+    pages = [g.Page.of(
+        [g.heading("Alpha Section"),
+         g.para("alpha body " * 40),
+         g.heading("Beta Section"),
+         g.para("beta body " * 40)],
+    )]
+    df = spark.createDataFrame(
+        pd.DataFrame([("p://doc", g.build_pdf(pages))], columns=["url", "pdf"]),
+        schema="url string, pdf binary",
+    )
+    chunks = chunk_documents(
+        extract_pdf_documents(df), max_tokens=32, overlap=4, mode="hierarchical"
+    ).collect()
+    assert len(chunks) >= 3
+    heads = {tuple(c["headings"]) for c in chunks}
+    assert ("Alpha Section",) in heads and ("Beta Section",) in heads
+    # no chunk mixes the two sections' bodies
+    for c in chunks:
+        assert not ("alpha body" in c["raw_text"] and "beta body" in c["raw_text"])
