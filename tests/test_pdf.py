@@ -671,3 +671,87 @@ def test_chunker_consumes_pdf_extraction_with_heading_sections(spark):
     # no chunk mixes the two sections' bodies
     for c in chunks:
         assert not ("alpha body" in c["raw_text"] and "beta body" in c["raw_text"])
+
+
+def test_pdf_corpus_flows_through_production_ingest_loop(spark, tmp_path):
+    """Capstone composition: a PDF crawl batch runs the FULL production
+    loop — extract_pdf_documents → docs_from_extraction bridge →
+    ingest_batch (curation funnel → exact dedup → commit). Exact PDF
+    re-posts of already-committed documents are dropped by the history
+    stage on the second batch; the bit-identical replay no-ops."""
+    from docling_jobkit_spark.operators.extract_op import extract_pdf_documents
+    from docling_jobkit_spark.plans.ingest import (
+        IngestConfig,
+        docs_from_extraction,
+        ingest_batch,
+    )
+
+    def corpus(urls_texts):
+        rows = [
+            (url, g.build_pdf([g.Page.of([g.para(t)])], compress=True))
+            for url, t in urls_texts
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "pdf"]),
+            schema="url string, pdf binary",
+        )
+
+    # distinct natural-English paragraphs: the funnel's lang-id gate
+    # wants stopwords, the Gopher gate punishes repeated phrases, and
+    # the within-batch near-dup stage collapses mutually similar docs —
+    # so each text must be genuinely different prose
+    texts = [
+        "the sun rises over the quiet valley while farmers walk to the "
+        "fields and children gather near the old stone bridge to watch "
+        "boats drift slowly down the calm river toward the distant sea",
+        "a library in the middle of the town keeps thousands of maps "
+        "that sailors once used to cross dangerous waters and traders "
+        "still study them for stories about harbors that vanished long ago",
+        "during the winter months the mountain road closes and the "
+        "villagers rely on a narrow path through the forest where deer "
+        "and foxes leave fresh tracks in the deep snow every morning",
+        "the museum opened a new hall this spring with paintings from "
+        "a forgotten school of artists whose bold colors and strange "
+        "shapes confused critics but delighted visitors of every age",
+        "engineers tested the new bridge for several weeks by driving "
+        "heavy trucks across it at night and measuring how the steel "
+        "cables stretched under the enormous weight of the loads",
+        "a small bakery near the station sells bread made from an old "
+        "family recipe and people line up before dawn because the first "
+        "loaves always disappear within minutes of the doors opening",
+    ]
+    fresh = [
+        "the observatory on the hill lets students watch planets "
+        "through an ancient telescope that still turns smoothly on its "
+        "brass mount after more than a hundred years of careful use",
+        "fishermen along the coast repair their nets each evening and "
+        "trade quiet stories about the storms they survived while the "
+        "lighthouse sweeps its slow beam across the darkening water",
+    ]
+    batch_a = corpus([(f"https://a.example.com/doc/{i}", texts[i]) for i in range(6)])
+    # batch B: 2 fresh docs + 3 exact re-posts of batch A content
+    batch_b = corpus(
+        [(f"https://b.example.com/doc/{i}", texts[i]) for i in range(3)]
+        + [(f"https://b.example.com/new/{i}", fresh[i]) for i in range(2)]
+    )
+    state = str(tmp_path / "pdf_ingest")
+    cfg = IngestConfig()
+    res_a = ingest_batch(
+        spark, docs_from_extraction(extract_pdf_documents(batch_a)),
+        state, "2026-01", config=cfg,
+    )
+    kept_a = res_a.kept.count()
+    assert kept_a >= 5  # funnel may drop at most a stray
+    res_b = ingest_batch(
+        spark, docs_from_extraction(extract_pdf_documents(batch_b)),
+        state, "2026-02", config=cfg,
+    )
+    ledger_b = {r["stage"]: r["docs_dropped"] for r in res_b.ledger.collect()}
+    assert ledger_b.get("history_exact", 0) == 3  # the re-posts
+    assert res_b.kept.count() == 2
+    # bit-identical replay no-ops
+    replay = ingest_batch(
+        spark, docs_from_extraction(extract_pdf_documents(batch_b)),
+        state, "2026-02", config=cfg,
+    )
+    assert replay.replayed
