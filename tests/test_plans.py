@@ -352,3 +352,32 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("drop table if exists bkt_docs")
         spark.sql("drop table if exists bkt_feats")
+
+
+def test_pdf_extraction_scan_prunes_columns(spark, pages_path):
+    """The PDF map and the auto router prune the parquet scan to
+    (url, payload) exactly like the HTML flagship — at corpus scale the
+    other columns never leave the footers."""
+    from docling_jobkit_spark.operators.extract_op import (
+        extract_documents_auto,
+        extract_pdf_documents,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    for op in (
+        lambda df: extract_pdf_documents(df, payload_col="html"),
+        extract_documents_auto,
+    ):
+        plan = _plan(op(pages))
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "warc_ts" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_pdf_slice_routing_estimate_is_jvm_side(spark, pages_path):
+    """The sliced router's page-count estimate must plan as a codegen
+    projection — no Python/Arrow eval node on the admission path."""
+    from docling_jobkit_spark.operators.slices import pdf_page_count_col
+
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(pages.select(pdf_page_count_col("html").alias("n")))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
