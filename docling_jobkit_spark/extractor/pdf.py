@@ -585,6 +585,9 @@ class Run(NamedTuple):
     y: int          # device y (baseline), centipoints
     size: int       # effective font size, centipoints
     text: str
+    w: int          # device advance width, centipoints (true font
+                    # metrics when the font carries them; the 500/1000
+                    # model otherwise — so layout sees exact extents)
 
 
 class Fig(NamedTuple):
@@ -813,7 +816,7 @@ def _interpret(
         a, b, c, d, e, f = m
         return (x * a + y * c + e, x * b + y * d + f)
 
-    def emit(raw_parts: list, start_m) -> None:
+    def emit(raw_parts: list, start_m, width_ts: float) -> None:
         if ts.mode == 3:  # invisible (OCR layer): advances, never emits
             return
         text = "".join(raw_parts)
@@ -821,11 +824,15 @@ def _interpret(
             return
         trm = _mmul(start_m, ctm)
         dx, dy = trm[4], trm[5]
+        scale_x = (trm[0] * trm[0] + trm[2] * trm[2]) ** 0.5
         scale_y = (trm[1] * trm[1] + trm[3] * trm[3]) ** 0.5
         size_cp = int(round(ts.size * scale_y * CP))
         if size_cp <= 0:
             size_cp = 1
-        runs.append(Run(int(round(dx * CP)), int(round(dy * CP)), size_cp, text))
+        w_cp = max(0, int(round(width_ts * ts.hscale * scale_x * CP)))
+        runs.append(
+            Run(int(round(dx * CP)), int(round(dy * CP)), size_cp, text, w_cp)
+        )
 
     def decode_piece(raw: bytes) -> tuple[str, float]:
         """(text, advance in text space) for one shown string. Widths come
@@ -873,7 +880,7 @@ def _interpret(
                 width_ts -= float(item) / 1000.0 * ts.size
                 if float(item) <= -TJ_SPACE_KERN:
                     raw_parts.append(" ")
-        emit(raw_parts, tm)
+        emit(raw_parts, tm, width_ts)
         return width_ts * ts.hscale
 
     def translate_tm(tx: float, ty: float, line: bool):
@@ -1013,6 +1020,8 @@ class PdfBlock(NamedTuple):
 
 
 def _est_width(size: int, text: str) -> int:
+    """Fallback width model (pdf_gen's contract); layout normally uses
+    the interpreter-computed ``Run.w``."""
     return (size * CHAR_ADVANCE_PCT * len(text)) // 100
 
 
@@ -1053,7 +1062,7 @@ def _lines_from_runs(runs: list[Run]) -> list[_Line]:
             else:
                 cur = r.text
                 cur_x = r.x
-            pen = r.x + _est_width(r.size, r.text)
+            pen = r.x + r.w
         cells.append(cur)
         cell_x.append(cur_x)
         x0 = group[0].x
@@ -1080,7 +1089,7 @@ def _detect_columns_runs(runs: list[Run]) -> tuple[int | None, list[int]]:
     if n < 4:
         return None, []
     xs = sorted(r.x for r in runs)
-    xends = sorted(r.x + _est_width(r.size, r.text) for r in runs)
+    xends = sorted(r.x + r.w for r in runs)
     sizes = sorted(r.size for r in runs)
     min_gutter = max(MIN_GUTTER_CP, (sizes[n // 2] * GUTTER_MIN_SIZE_PCT) // 100)
     best_key: tuple[int, int] | None = None
@@ -1100,7 +1109,7 @@ def _detect_columns_runs(runs: list[Run]) -> tuple[int | None, list[int]]:
     crossing_idx = [
         i
         for i, r in enumerate(runs)
-        if r.x < best_g and r.x + _est_width(r.size, r.text) > best_g - min_gutter
+        if r.x < best_g and r.x + r.w > best_g - min_gutter
     ]
     return best_g, crossing_idx
 

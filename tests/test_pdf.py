@@ -529,23 +529,30 @@ def test_type0_cid_font_decodes_via_tounicode_cmap():
     assert res.text == "Hellop\n\nABC"
 
 
-def test_simple_font_widths_drive_unpositioned_advance():
-    """A /Widths simple font changes Tj advance: with 250/1000 glyphs,
-    two consecutive Tj ops touch (no word gap); with 900/1000 glyphs the
-    second lands far right (cell gap -> the line becomes multi-cell but
-    degrades to a spaced text line, still one line)."""
-    def doc(widths):
+def test_simple_font_widths_drive_advance_and_layout_extents():
+    """/Widths metrics flow into BOTH the unpositioned advance and the
+    layout's run extents (Run.w): consecutive Tj ops are adjacent
+    whatever the glyph width, and an explicitly positioned second run
+    reads as touching or gapped according to the TRUE width of the
+    first — the 0.5-size model would misread the wide-glyph case as a
+    31pt cell gap."""
+    def doc(widths, content):
         extra = {
             6: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
                 b"/FirstChar 97 /LastChar 99 /Widths [%s] >>" % widths),
         }
-        content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (aa) Tj (bb) Tj ET"
         return mini_pdf(content, extra, b"<< /Font << /F1 6 0 R >> >>")
 
-    narrow = extract_pdf(doc(b"250 250 250"))
-    wide = extract_pdf(doc(b"2000 2000 2000"))
-    assert narrow.text == "aabb"      # 2*2.5pt advance -> adjacent
-    assert wide.text == "aa bb"       # 2*20pt advance -> gap -> space
+    consec = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (aa) Tj (bb) Tj ET"
+    assert extract_pdf(doc(b"250 250 250", consec)).text == "aabb"
+    assert extract_pdf(doc(b"2000 2000 2000", consec)).text == "aabb"
+
+    positioned = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (aa) Tj ET\n"
+                  b"BT /F1 10 Tf 1 0 0 1 113 700 Tm (bb) Tj ET")
+    # wide glyphs: 'aa' truly extends to x=112 -> 1pt gap -> adjacent
+    assert extract_pdf(doc(b"2000 2000 2000", positioned)).text == "aabb"
+    # narrow glyphs: 'aa' ends at x=77 -> 36pt gap -> separated
+    assert extract_pdf(doc(b"250 250 250", positioned)).text == "aa bb"
 
 
 def test_encrypted_pdf_is_refused_with_policy_row():
