@@ -1137,9 +1137,15 @@ def _q_lm_perplexity(spark, sf_dir):
         train_bigram_lm,
     )
 
+    # NOT spread: an A/B at sf0.1/local[32] measured the keyless
+    # repartition (shuffle + sortBeforeRepartition of the text, paid per
+    # training/scoring pass) costing more than the widened explode saves
+    # (2.5 s no-spread vs 4.1 s spread, bit-identical output). Lazy
+    # checkpoint: the cutoffs collect materializes scored inside its own
+    # job instead of a separate blocking checkpoint job.
     docs = _read(spark, sf_dir, "documents")
     lm = train_bigram_lm(docs, vocab_size=4096, max_bigrams=262144)
-    scored = score_perplexity(docs, lm).localCheckpoint(eager=True)
+    scored = score_perplexity(docs, lm).localCheckpoint(eager=False)
     h, t = perplexity_cutoffs(scored)
     return (
         scored.select("ppl", "n_bigrams", ppl_bucket("ppl", h, t))
@@ -1201,6 +1207,9 @@ def _q_dsir_select(spark, sf_dir):
     )
     from docling_jobkit_spark.operators.textstats import lang_id
 
+    # NOT spread: measured slower with it (same A/B shape as
+    # _q_lm_perplexity — the text shuffle costs more than the widened
+    # explode saves at this input size)
     docs = _read(spark, sf_dir, "documents")
     # one feature pass trains BOTH dists and is reused for scoring
     # (bit-identical to the separate trainings — pinned in test_dsir)
@@ -1226,6 +1235,7 @@ def _q_quality_filter(spark, sf_dir):
         train_quality_classifier_split,
     )
 
+    # NOT spread: measured slower with it (see _q_lm_perplexity)
     docs = _read(spark, sf_dir, "documents")
     # one labeled-frame feature pass trains both class multinomials and
     # is reused for scoring (bit-identical to the two filtered

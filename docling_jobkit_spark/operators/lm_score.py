@@ -96,16 +96,26 @@ def train_bigram_lm(
     )
     uni = uni.localCheckpoint(eager=False)
     vocab_top = uni.orderBy(F.desc("c1"), F.asc("w")).limit(vocab_size)
-    totals = uni.agg(
-        F.sum("c1").alias("_t"),
-        F.count(F.lit(1)).alias("_distinct"),
-    ).collect()[0]
-    in_vocab = vocab_top.agg(
-        F.coalesce(F.sum("c1"), F.lit(0)).alias("_v"),
-        F.count(F.lit(1)).alias("_n"),
-    ).collect()[0]
-    unk_count = int(totals["_t"] or 0) - int(in_vocab["_v"])
-    n_vocab = int(in_vocab["_n"])
+    # ONE action for both scalar aggs (corpus total + in-vocab total):
+    # a two-branch union over the checkpointed unigram table collects in
+    # a single job instead of two sequential driver round trips
+    stats = (
+        uni.agg(
+            F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        .select(F.lit("t").alias("_k"), "_s", "_n")
+        .unionByName(
+            vocab_top.agg(
+                F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("_s"),
+                F.count(F.lit(1)).cast("long").alias("_n"),
+            ).select(F.lit("v").alias("_k"), "_s", "_n")
+        )
+        .collect()
+    )
+    by_k = {r["_k"]: r for r in stats}
+    unk_count = int(by_k["t"]["_s"]) - int(by_k["v"]["_s"])
+    n_vocab = int(by_k["v"]["_n"])
     # the <unk> row rides in the vocab dim so scoring needs ONE join for
     # (mapped word, denominator count); built JVM-side (range+select —
     # repo invariant: never createDataFrame(list) for literal dims)

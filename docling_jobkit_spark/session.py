@@ -91,6 +91,14 @@ def get_spark(
         # binary html payloads: cap Arrow batch size so a batch of big pages
         # doesn't blow the python worker heap (SURVEY §7 "What's hard" #4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # PySpark 4 captures a Python call-site (stack walk) AND pushes it
+        # to the JVM (one extra py4j round trip) on EVERY DataFrame API
+        # call when dataFrameDebugging is on (the default) — pure driver
+        # latency on plan-construction-heavy operators (measured via
+        # cProfile: thousands of gateway calls per composite plan build).
+        # Error messages lose the user-code line pointer; plans, results
+        # and executor behavior are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if n_executors:
