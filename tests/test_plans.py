@@ -182,16 +182,23 @@ def test_commit_group_predicate_prunes_bucket_partitioned_layout(spark, pages_pa
 
 
 def test_repetition_signals_single_scan_no_join(spark, sf_dir):
-    """All n-gram families must ride ONE scan of documents (tagged-struct
-    flatten), and the totals must come from aggregation, not a join back
-    to the base table."""
+    """All n-gram families must ride ONE scan of documents, computed
+    PER DOCUMENT (sorted-run fold over hashed windows): no join back to
+    the base table and — since the round-6 rewrite — no aggregation and
+    no exchange beyond the parallelism spread: the per-(doc, n) stats
+    never shuffle gram rows at any corpus size."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["repetition_signals"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
-    # two-level agg: partial/final pairs for (doc,n,gram) then (doc,n)
-    assert "partial" in plan.lower()
+    # zero gram shuffles: the only allowed exchange is the round-robin
+    # spread of the raw rows (spread_for_compute at the entry)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e_ for e_ in exchanges), exchanges
+    assert "HashAggregate" not in plan
 
 
 def test_segment_dup_joins_on_hash_only(spark, sf_dir):
