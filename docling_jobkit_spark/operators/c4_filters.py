@@ -168,21 +168,22 @@ def c4_span_dedup(
     # base is consumed twice (span explode + final edit join) and its
     # upstream may be an expensive derived projection: materialize it
     # once (repo invariant — multi-consumer lineage otherwise re-runs
-    # the whole expression chain per consumer).
+    # the whole expression chain per consumer). The NORMALIZED lines are
+    # materialized alongside: each line participates in span_lines
+    # overlapping spans, so normalizing inside the span hash re-ran the
+    # lowercase+regexp chain 3x per line (the concat of pre-normalized
+    # lines is byte-identical, so span hashes are unchanged).
     base = df.select(
-        F.col(id_col).alias("_id"), lines.alias("_lines")
+        F.col(id_col).alias("_id"),
+        lines.alias("_lines"),
+        F.transform(lines, _norm_line).alias("_norm"),
     ).localCheckpoint(eager=False)
     n = F.size(F.col("_lines"))
     m = n - (span_lines - 1)
 
     def span_hash(i: Column) -> Column:
         return stable_hash64(
-            F.concat_ws(
-                "\x1f",
-                F.transform(
-                    F.slice(F.col("_lines"), i, span_lines), _norm_line
-                ),
-            )
+            F.concat_ws("\x1f", F.slice(F.col("_norm"), i, span_lines))
         )
     spans = (
         base.where(m >= 1)

@@ -109,6 +109,10 @@ CORPUS_SCHEMA = (
     "doc_id bigint, url string, text string, content_hash string, n_chars bigint"
 )
 SEEN_SCHEMA = "content_hash string"
+LEDGER_SCHEMA = (
+    "stage_order int, stage string, docs_in bigint, "
+    "docs_dropped bigint, docs_kept bigint"
+)
 
 
 @dataclass(frozen=True)
@@ -1681,20 +1685,44 @@ def ingest_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
 
     root = state_dir.rstrip("/")
     batches = _committed_batch_dirs(spark, f"{root}/ledger")
+    # ONE Spark job for every batch's ledger endpoints: all committed
+    # ledger dirs under one basePath (the ``ingest_drift_report`` /
+    # history-probe pattern), min/max stage rows per batch via struct
+    # extrema. The former per-batch read+collect loop ran one driver
+    # round trip + job per committed batch — O(n_batches) sequential
+    # tiny jobs at a year of daily snapshots; this is O(1) jobs at any
+    # batch count. File listings stay driver-side (metadata-only, the
+    # cost every commit already pays; corpus data files are never
+    # opened).
+    led_stats: dict[str, tuple[int, int]] = {}
+    if batches:
+        led = (
+            spark.read.option("basePath", f"{root}/ledger")
+            .schema(LEDGER_SCHEMA + ", batch string")
+            .parquet(*[f"{root}/ledger/batch={b}" for b in sorted(batches)])
+        )
+        endpoints = led.groupBy("batch").agg(
+            F.min(F.struct("stage_order", "docs_in"))["docs_in"].alias("_in"),
+            F.max(F.struct("stage_order", "docs_kept"))["docs_kept"].alias(
+                "_kept"
+            ),
+        )
+        led_stats = {
+            r["batch"]: (int(r["_in"]), int(r["_kept"]))
+            for r in endpoints.collect()
+        }
     rows = []
     for bid in sorted(batches):
-        led = spark.read.parquet(f"{root}/ledger/batch={bid}").orderBy(
-            "stage_order"
-        ).collect()
         corpus_dir = f"{root}/corpus/batch={bid}"
         expired = not _exists(spark, corpus_dir)
         files = [] if expired else _list_parquet_files(spark, corpus_dir)
         n_bytes = sum(b for _, b in files)
+        docs_in, docs_kept = led_stats[bid]
         rows.append(
             (
                 bid,
-                int(led[0]["docs_in"]),
-                int(led[-1]["docs_kept"]),
+                docs_in,
+                docs_kept,
                 len(files),
                 n_bytes,
                 int(n_bytes / len(files)) if files else 0,

@@ -424,6 +424,33 @@ def test_ingest_state_report(spark, state):
     assert empty.count() == 0 and "fragmented" in empty.columns
 
 
+def test_ingest_state_report_runs_O1_jobs(spark, state):
+    """The report must read every batch's ledger in ONE multi-dir scan
+    (basePath + groupBy endpoints), not one read+collect job per batch:
+    at a year of daily snapshots the per-batch spelling is hundreds of
+    sequential driver round trips. Pinned: total Spark jobs for the
+    report is a small constant (ledger-endpoints collect + final
+    collect), NOT a function of batch count."""
+    from docling_jobkit_spark.plans.ingest import ingest_state_report
+
+    root, *_ = state
+    sc = spark.sparkContext
+    sc.setJobGroup("isr_jobcount", "state report job count")
+    try:
+        rep = ingest_state_report(spark, root).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(rep) == 2
+    jobs = sc.statusTracker().getJobIdsForGroup("isr_jobcount")
+    # Constant budget: the endpoints groupBy-collect and the final
+    # report collect, each split into per-exchange jobs by AQE stage
+    # materialization (~2-3 jobs per query). The per-batch spelling
+    # adds one read+collect job PER BATCH on top (2 batches -> >= 7,
+    # 365 batches -> hundreds); the single-scan form stays at <= 5
+    # regardless of batch count.
+    assert len(jobs) <= 5, f"state report ran {len(jobs)} jobs: {jobs}"
+
+
 def test_expire_batch_payload(spark, sf_dir, tmp_path):
     """Storage reclaim must never forget: after expiring batch A's
     payload, history dedup for batch B is unchanged (seen/index deltas
