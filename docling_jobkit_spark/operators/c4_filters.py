@@ -118,20 +118,30 @@ def c4_line_filter(
 ) -> DataFrame:
     """Surviving pages with ``text_col`` replaced by the cleaned text.
 
-    Same projection as ``c4_line_stats`` fused with the page gate —
-    still zero shuffles; Catalyst pushes the whole decision into the
-    scan stage."""
+    Same logic as ``c4_line_stats`` fused with the page gate — still
+    zero shuffles. The kept-lines array rides through
+    ``explode(array(...))`` (a single-row Generate): the split→trim→
+    line-filter chain is CodegenFallback (no subexpression
+    elimination), so referencing it from both the page-gate filter and
+    the output projection evaluated it twice per page; the Generate
+    forces exactly one evaluation and blocks the filter from being
+    re-inlined below it."""
     lines = _trimmed_lines(text_col)
     kept = F.filter(lines, lambda x: _line_kept(x, min_words_per_line))
     t = F.col(text_col)
-    page_kept = (
-        ~F.contains(F.lower(t), F.lit("lorem ipsum"))
-        & ~F.contains(t, F.lit("{"))
-        & (F.size(kept) >= min_lines_per_page)
-    )
     others = [c for c in df.columns if c != text_col]
-    return df.where(page_kept).select(
-        *others, F.array_join(kept, "\n").alias(text_col)
+    inner = df.select(
+        *others,
+        t.alias("_t_raw"),
+        F.explode(F.array(kept)).alias("_kept"),
+    )
+    page_kept = (
+        ~F.contains(F.lower(F.col("_t_raw")), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("_t_raw"), F.lit("{"))
+        & (F.size("_kept") >= min_lines_per_page)
+    )
+    return inner.where(page_kept).select(
+        *others, F.array_join("_kept", "\n").alias(text_col)
     )
 
 

@@ -55,6 +55,22 @@ def _tok31(c: Column, salt: str, p: int) -> Column:
     return F.pmod(stable_hash64(F.concat(F.lit(salt), c), 32), F.lit(p))
 
 
+def _tok31_pair(c: Column) -> Column:
+    """Both channel hashes from ONE sha per token: the 56-bit prefix
+    splits 28/28 and each half reduces mod its channel prime. Channel
+    values differ from the two-sha ``_tok31`` family, but the OUTPUT of
+    the dedup is hash-family-independent: a window key matches iff the
+    token sequences match (two distinct tokens would need a full 56-bit
+    prefix collision to alias both channels — ~vocab²/2⁵⁶, negligible),
+    and the DuckDB twin (which keeps its own hashes) pins exactly that
+    output equality. Halves the sha cost of the base projection."""
+    h = stable_hash64(c, 56)
+    return F.struct(
+        F.pmod(F.shiftrightunsigned(h, 28), F.lit(_P1)).alias("h1"),
+        F.pmod(h.bitwiseAND(F.lit((1 << 28) - 1)), F.lit(_P2)).alias("h2"),
+    )
+
+
 def _poly(arr: Column, start: Column, k: int, b: int, p: int) -> Column:
     """Polynomial fold of arr[start .. start+k-1] mod p (acc starts at
     0, so the result equals DuckDB's list_reduce over the same slice)."""
@@ -62,6 +78,17 @@ def _poly(arr: Column, start: Column, k: int, b: int, p: int) -> Column:
         F.slice(arr, start, k),
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * F.lit(b) + x, F.lit(p)),
+    )
+
+
+def _poly_field(
+    pairs: Column, field: str, start: Column, k: int, b: int, p: int
+) -> Column:
+    """``_poly`` over one channel of the (h1, h2) pair array."""
+    return F.aggregate(
+        F.slice(pairs, start, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(b) + x[field], F.lit(p)),
     )
 
 
@@ -78,18 +105,24 @@ def exact_substring_dedup(
     normalized by construction (tokenization is whitespace-split)."""
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
-    # the tokenize + two per-token hash transforms below are the cost —
-    # spread a single-split scan before paying them (no-op at scale)
+    # the tokenize + per-token hash transforms below are the cost —
+    # spread a single-split scan before paying them (no-op at scale).
+    # The token array rides through explode(array(...)) — a single-row
+    # Generate — so the three consumers (_toks passthrough + the hash
+    # transform) read ONE evaluation of the tokenizer: HOF-bearing
+    # projections are CodegenFallback, which gets no subexpression
+    # elimination, so the former spelling re-ran the regex split once
+    # per reference. One sha per token (_tok31_pair) supplies both
+    # channels.
     df = spread_for_compute(df)
-    base = df.select(
+    toked = df.select(
         F.col(id_col).alias("_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-        F.transform(
-            tokens(F.col(text_col)), lambda t: _tok31(t, "s1|", _P1)
-        ).alias("_h1"),
-        F.transform(
-            tokens(F.col(text_col)), lambda t: _tok31(t, "s2|", _P2)
-        ).alias("_h2"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("_toks"),
+    )
+    base = toked.select(
+        "_id",
+        "_toks",
+        F.transform(F.col("_toks"), _tok31_pair).alias("_hp"),
     ).localCheckpoint(eager=False)
 
     n = F.size(F.col("_toks"))
@@ -105,9 +138,10 @@ def exact_substring_dedup(
                         i.alias("start"),
                         (
                             F.shiftleft(
-                                _poly(F.col("_h1"), i, k, _B1, _P1), 31
+                                _poly_field(F.col("_hp"), "h1", i, k, _B1, _P1),
+                                31,
                             )
-                            + _poly(F.col("_h2"), i, k, _B2, _P2)
+                            + _poly_field(F.col("_hp"), "h2", i, k, _B2, _P2)
                         ).alias("h"),
                     ),
                 )

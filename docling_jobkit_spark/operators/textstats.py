@@ -110,8 +110,16 @@ def _rep_counts(toks: Column, n: int) -> Column:
         F.lit(0).alias("run"),
         F.lit(0).alias("mx"),
         F.lit(0).alias("nd"),
+        F.lit(0).alias("n"),
     )
-    folded = F.aggregate(
+    # ONE aggregate call producing the final struct via the finish
+    # lambda: HOF expressions are CodegenFallback (no subexpression
+    # elimination), so a spelling that referenced the fold twice
+    # (nd, mx) and the sorted array three times (size + the two fold
+    # references) re-ran the whole hash+sort chain per reference —
+    # the accumulator carries the element count instead of a separate
+    # size(sg), and finish() projects the result struct in place.
+    return F.aggregate(
         sg,
         acc0,
         lambda a, x: F.struct(
@@ -128,12 +136,13 @@ def _rep_counts(toks: Column, n: int) -> Column:
                 a["nd"]
                 + F.when(a["prev"].isNull() | (a["prev"] != x), 1).otherwise(0)
             ).alias("nd"),
+            (a["n"] + 1).alias("n"),
         ),
-    )
-    return F.struct(
-        F.size(sg).cast("int").alias("n_grams"),
-        folded["nd"].cast("int").alias("n_distinct"),
-        folded["mx"].cast("int").alias("top_count"),
+        lambda a: F.struct(
+            a["n"].cast("int").alias("n_grams"),
+            a["nd"].cast("int").alias("n_distinct"),
+            a["mx"].cast("int").alias("top_count"),
+        ),
     )
 
 
@@ -213,21 +222,39 @@ def gopher_filter(
     (first failing rule wins: too_short > too_long > repetitive_2gram >
     dominant_2gram > token_length > lang_unknown).
 
-    Plan shape: ONE projection over the scan — the scalar signals and
-    the per-doc 2-gram repetition stats (``_rep_counts``: hash windows,
-    sort, one fold) fuse into the same stage; no aggregation, no join,
-    no shuffle at any corpus size. (The former spelling aggregated the
-    exploded grams corpus-wide and joined the stats back by id.)"""
+    Plan shape: ONE scan-fused stage — the scalar signals and the
+    per-doc 2-gram repetition stats (``_rep_counts``: hash windows,
+    sort, one fold) compute together; no aggregation, no join, no
+    shuffle at any corpus size. (The former spelling aggregated the
+    exploded grams corpus-wide and joined the stats back by id.)
+
+    The rep struct rides through ``explode(array(struct))`` — a
+    single-row Generate — deliberately: HOF folds are CodegenFallback
+    expressions that whole-stage codegen does NOT subexpression-
+    eliminate, so referencing the fold from several output columns (and
+    from downstream pushed filters, e.g. the curation funnel's
+    survivor predicates) re-evaluates the whole chain per reference.
+    The Generate is a collapse/pushdown barrier that forces exactly one
+    evaluation per row (measured at sf0.1: 30 → 14.6 CPU-s,
+    bit-identical output)."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    rep_cols = _rep_frac_cols(_rep_counts(tokens(F.lower(t)), 2))
-    j = df.select(
+    rep = _rep_counts(tokens(F.lower(t)), 2)
+    inner = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
         lang_id(text_col).alias("lang_pred"),
-        rep_cols[3],  # dup_frac
-        rep_cols[4],  # top_frac
+        F.explode(F.array(rep)).alias("_r"),
+    )
+    fr = _rep_frac_cols(F.col("_r"))
+    j = inner.select(
+        id_col,
+        "n_tokens",
+        "avg_token_len",
+        "lang_pred",
+        fr[3],  # dup_frac
+        fr[4],  # top_frac
     )
     reason = (
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
