@@ -139,7 +139,13 @@ def _sigs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
         )
     ).filter(F.size("sh") > 0)
-    return sh.select("id", minhash_signature_from_shingles("sh").alias("sig"))
+    # explode(array(...)) Generate barrier: the banding transform slices
+    # the signature BANDS times, and project collapse would re-inline the
+    # 64-channel fold into every slice (see minhash_near_duplicates)
+    return sh.select(
+        "id",
+        F.explode(F.array(minhash_signature_from_shingles("sh"))).alias("sig"),
+    )
 
 
 def contamination_fuzzy_pairs(

@@ -376,12 +376,21 @@ def _jaccard_pairs_prefix(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return j.select(
+    # (n_common, n_union) through a single-row Generate so the verify
+    # intersection is computed once per candidate pair — the former
+    # aliased-projection + filter spelling let Catalyst push the
+    # threshold predicate below the projection and re-inline the
+    # intersect into it (one extra evaluation per pair)
+    stats = F.struct(inter.alias("nc"), union.alias("nu"))
+    jj = j.select(
+        "id_a", "id_b", F.explode(F.array(stats)).alias("_ps")
+    )
+    return jj.select(
         "id_a",
         "id_b",
-        inter.alias("n_common"),
-        union.alias("n_union"),
-        F.round(inter / union, 6).alias("jaccard"),
+        F.col("_ps")["nc"].alias("n_common"),
+        F.col("_ps")["nu"].alias("n_union"),
+        F.round(F.col("_ps")["nc"] / F.col("_ps")["nu"], 6).alias("jaccard"),
     ).filter(
         (F.col("n_common") * threshold_den >= F.col("n_union") * threshold_num)
         & (F.col("n_union") > 0)
@@ -557,7 +566,11 @@ def lsh_candidates(
             F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
         )
     ).filter(F.size("sh") > 0)  # empty-set guard, see minhash_near_duplicates
-    sig = sh.select("id", minhash_signature_from_shingles("sh").alias("sig"))
+    # Generate barrier — see minhash_near_duplicates
+    sig = sh.select(
+        "id",
+        F.explode(F.array(minhash_signature_from_shingles("sh"))).alias("sig"),
+    )
     return _band_candidates(sig)
 
 
@@ -610,7 +623,18 @@ def minhash_near_duplicates(
     # pushes the predicate under the projection and re-inlines the whole
     # shingle expression (measured ~+50% CPU for a "free" filter).
     sh = sh.filter(F.size("shingles") > 0)
-    sig = sh.select("id", minhash_signature_from_shingles("shingles").alias("sig"))
+    # the signature fold rides through explode(array(...)) — a
+    # single-row Generate — so the banding transform's BANDS slice
+    # references read one stored evaluation: project collapse would
+    # otherwise inline the whole 64-channel fold into the band lambda,
+    # re-running it once per band per self-join branch (measured
+    # 23.7 -> 14.8 CPU-s at sf0.1, identical pairs)
+    sig = sh.select(
+        "id",
+        F.explode(F.array(minhash_signature_from_shingles("shingles"))).alias(
+            "sig"
+        ),
+    )
     cands = _band_candidates(sig)
     j = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), on="id_a")
@@ -618,11 +642,21 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # one evaluation of the intersect/union per candidate pair via the
+    # single-row Generate (the filter would otherwise re-inline both
+    # below the projection — see _jaccard_pairs_prefix)
+    stats = F.struct(inter.alias("nc"), union.alias("nu"))
+    jj = j.select("id_a", "id_b", F.explode(F.array(stats)).alias("_ps"))
     # union > 0 guard: two empty shingle sets (sub-k-token docs) collide in
     # every LSH bucket but have no defined Jaccard — drop, both engines
-    return j.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
-    ).filter((inter * threshold_den >= union * threshold_num) & (union > 0))
+    return jj.filter(
+        (F.col("_ps")["nc"] * threshold_den >= F.col("_ps")["nu"] * threshold_num)
+        & (F.col("_ps")["nu"] > 0)
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_ps")["nc"] / F.col("_ps")["nu"], 6).alias("jaccard"),
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -802,10 +836,15 @@ def near_dup_clusters(
     that appears in at least one pair; singletons never enter a pair and
     keep themselves by definition (left-join + coalesce at the caller,
     see canonical_ids)."""
+    # pre-partitioned by dst: localCheckpoint preserves the output
+    # partitioning, so every round's neighbor join reads the stored
+    # layout instead of re-exchanging the edge list (one narrow shuffle
+    # paid once vs once per round — the pagerank treatment, guide §2.4)
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .repartition("dst")
     )
     labels = edges.groupBy("src").agg(F.min("dst").alias("nbr_min")).select(
         F.col("src").alias("id"),

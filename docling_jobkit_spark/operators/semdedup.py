@@ -77,21 +77,35 @@ def with_semdedup_rank(
     rank 1 = farthest from centroid = highest keep priority."""
     # the k-cosine assignment + own-sim projection are interpreted
     # per-row expression chains — spread before computing (no-op on
-    # already-wide scans, repo invariant for single-row-group testdata)
-    assigned = ivf_assign(spread_for_compute(df), centroids, vec_col=vec_col)
-    v = F.col(vec_col)
-    sim_arr = F.array(
-        *[
-            F.round(cosine_col(v, lit_doubles(float(x) for x in c)), 6)
-            for c in centroids
-        ]
+    # already-wide scans, repo invariant for single-row-group testdata).
+    # ONE cosine-array evaluation feeds both the cell argmax and the
+    # own-cell similarity via the explode(array(...)) Generate barrier
+    # (HOF folds are CodegenFallback — no subexpression elimination —
+    # so the former ivf_assign + separate sim_arr spelling ran the
+    # k-fold chain twice per row, and again under the rank window's
+    # exchange). Same argmax/tie rule and the same rounded values as
+    # ivf_assign by construction.
+    from docling_jobkit_spark.operators.similarity import _cosine_array
+
+    sp = spread_for_compute(df)
+    out_cols = sp.columns
+    inner = sp.select(
+        "*", F.explode(F.array(_cosine_array(sp, centroids, vec_col))).alias("_ca")
+    )
+    cell = F.coalesce(
+        (F.array_position(F.col("_ca"), F.array_max(F.col("_ca"))) - 1).cast(
+            "int"
+        ),
+        F.lit(-1),
     )
     # element_at is 1-indexed; cell -1 (null/empty vector) gets null sim
-    own_sim = F.when(
-        F.col("ivf_cell") >= 0,
-        F.element_at(sim_arr, F.col("ivf_cell") + 1),
+    ranked = inner.select(
+        *out_cols,
+        cell.alias("ivf_cell"),
+        F.when(cell >= 0, F.element_at(F.col("_ca"), cell + 1)).alias(
+            "centroid_sim"
+        ),
     )
-    ranked = assigned.withColumn("centroid_sim", own_sim)
     w = Window.partitionBy("ivf_cell").orderBy(
         F.col("centroid_sim").asc_nulls_last(), F.col(id_col).asc()
     )

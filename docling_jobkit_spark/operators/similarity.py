@@ -263,18 +263,36 @@ def ivf_assign(
     # (A when-chain here would NEST each step's subtree into the next —
     # expression size doubles per centroid, measured 27 s for k=8; the
     # flat array form is linear and runs in milliseconds.)
+    # The cosine array rides through explode(array(...)) — a single-row
+    # Generate — because the interpreted cosine folds are
+    # CodegenFallback (no subexpression elimination): referencing the
+    # array from both array_position and array_max (and from any
+    # downstream filter/exchange Catalyst re-inlines the cell into)
+    # re-ran all k folds per reference.
+    out_cols = df.columns
+    inner = df.select("*", F.explode(F.array(_cosine_array(df, centroids, vec_col))).alias("_ca"))
+    best_cell = (
+        F.array_position(F.col("_ca"), F.array_max(F.col("_ca"))) - 1
+    ).cast("int")
+    # NULL/empty embeddings score all-NULL cosines → array_position yields
+    # NULL; restore the -1 sentinel so unscorable vectors stay visible in
+    # probe filters and ivf_cell-as-partition-column layouts
+    return inner.select(
+        *out_cols, F.coalesce(best_cell, F.lit(-1)).alias("ivf_cell")
+    )
+
+
+def _cosine_array(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> Column:
+    """The k-wide rounded-cosine array against literal centroids."""
     v = F.col(vec_col)
-    cos_arr = F.array(
+    return F.array(
         *[
             F.round(cosine_col(v, lit_doubles(float(x) for x in c)), 6)
             for c in centroids
         ]
     )
-    best_cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
-    # NULL/empty embeddings score all-NULL cosines → array_position yields
-    # NULL; restore the -1 sentinel so unscorable vectors stay visible in
-    # probe filters and ivf_cell-as-partition-column layouts
-    return df.withColumn("ivf_cell", F.coalesce(best_cell, F.lit(-1)))
 
 
 def deterministic_centroids(
