@@ -299,7 +299,20 @@ def _jaccard_pairs_prefix(
     strings: the frequency agg, prefix join, and verify intersections all
     shuffle/compare longs — a large constant-factor win at corpus scale.
     |∩|/|∪| are unchanged (collision probability ~|vocab|²/2^53), and the
-    DuckDB oracle hashes identically, so the check is still exact."""
+    DuckDB oracle hashes identically, so the check is still exact.
+
+    The prefix rows are extracted with a WINDOW RANK over (df_t, t)
+    within each doc, not by re-grouping every doc's shingles into a
+    frequency-sorted array: only the PREFIX needs the global order (the
+    verify intersections are order-independent sizes), and the former
+    collect_list→array_sort→transform regroup plus the re-explode of the
+    sorted arrays was the single largest CPU block of the operator
+    (measured at sf0.1: 36.5 → 27.9 CPU-s end to end, identical pairs).
+    One exchange (the window's hash partition by id) replaces two (the
+    regroup and the prefix re-explode's lineage), and the per-doc
+    interpreted array sort disappears."""
+    from pyspark.sql import Window
+
     hashed = F.transform(words, lambda s: stable_hash64(s, bits=52))
     sets = df.select(
         F.col(id_col).alias("id"),
@@ -307,40 +320,32 @@ def _jaccard_pairs_prefix(
         hashed.alias("sh"),
     # materialized ONCE: the tokenize→shingle→sha chain is the dominant
     # interpreted cost and would otherwise re-run for the freq agg, the
-    # ordering join, and the regroup
+    # prefix ranking, and both verify sides
     )
     sets = _materialize(sets)
     tok = sets.select(
         "id", *block_cols, F.size("sh").alias("n"), F.explode("sh").alias("t")
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
-    # each doc's shingles re-ordered rarest-first under the global order
-    ordered = (
-        tok.join(freq, on="t")
-        .groupBy("id", *block_cols, "n")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df_t", "t"))), lambda s: s.t
-            ).alias("sh")
-        )
-        # ordered sets feed FOUR consumers (prefix-left, prefix-right,
-        # verify-a, verify-b); without a materialization Spark recomputes
-        # the scan→shingle→freq-join→regroup chain per consumer (measured:
-        # 8 parquet scans, 0 reused exchanges). Classic PPJoin materializes
-        # the frequency-ordered lists once — see _materialize for the
-        # recoverability tradeoff.
-    )
-    ordered = _materialize(ordered)
     n = F.col("n")
     # ceil(n * num / den) in integer arithmetic
     tceil = F.floor((n * threshold_num + threshold_den - 1) / threshold_den).cast("int")
     plen = F.greatest(n - tceil + 1, F.lit(1))
-    base = ordered.select(
-        "id",
-        *block_cols,
-        "n",
-        F.explode(F.slice("sh", F.lit(1), plen)).alias("ptok"),
+    # rank each doc's shingles rarest-first under the global (df_t, t)
+    # total order and keep only the prefix rows — these ARE the candidate
+    # join input, no sorted-array rebuild, no second explode
+    w = Window.partitionBy("id").orderBy(F.asc("df_t"), F.asc("t"))
+    base = (
+        tok.join(freq, on="t")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= plen)
+        .select(F.col("t").alias("ptok"), *block_cols, "id", "n")
+        # prefix rows feed BOTH sides of the candidate self-join;
+        # without a materialization Spark recomputes the freq-join +
+        # window chain per side — see _materialize for the
+        # recoverability tradeoff
     )
+    base = _materialize(base)
     left = base.select(
         F.col("ptok").alias("ptok_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
@@ -363,7 +368,10 @@ def _jaccard_pairs_prefix(
         & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
     )
     cands = left.join(right, on=cond).select("id_a", "id_b").distinct()
-    verify_sets = ordered.select("id", "sh")
+    # verify against the UNORDERED materialized sets: |∩| and |∪| are
+    # sizes, invariant to element order, so the prefix ranking never
+    # needs to be re-attached to the full arrays
+    verify_sets = sets.select("id", "sh")
     j = (
         cands.join(
             verify_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -804,6 +812,7 @@ def segment_dup_stats(
 def near_dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve pairwise near-duplicate output into CLUSTERS: connected
     components over the (id_a, id_b) edge set, labeling every member
@@ -846,6 +855,49 @@ def near_dup_clusters(
         .distinct()
         .repartition("dst")
     )
+    # SIZE-ADAPTIVE resolution (the AQE-broadcast analog): the edge set
+    # is usually orders of magnitude smaller than the corpus (one row
+    # per near-duplicate RELATION), and the distributed loop's per-round
+    # fixed cost (3 joins + checkpoint + convergence count, each a
+    # sequential job) dwarfs the actual work on a small graph. Below the
+    # threshold (~3 MB of (long, long) rows — the same magnitude Spark
+    # broadcasts without blinking) the materialized edges are pulled
+    # once and resolved with an exact union-find; labels are identical
+    # by construction (min-id per component is algorithm-independent,
+    # pinned by test_near_dup_clusters_local_matches_distributed). The
+    # count gate itself reads the checkpointed edges the loop needs
+    # anyway. Above the threshold — any corpus at scale — the
+    # distributed pointer-jumping loop below runs unchanged.
+    n_edges = edges.count()
+    if n_edges <= local_edge_threshold:
+        pdf = edges.toPandas()
+        parent: dict = {}
+
+        def _find(x):
+            r = parent.setdefault(x, x)
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # min root wins → the final root IS the component min id
+                parent[max(ra, rb)] = min(ra, rb)
+        import pandas as pd
+
+        nodes = list(parent)
+        out = pd.DataFrame(
+            {
+                "id": pd.Series(nodes, dtype="int64"),
+                "cluster_id": pd.Series([_find(x) for x in nodes], dtype="int64"),
+            }
+        )
+        return pairs.sparkSession.createDataFrame(
+            out, "id bigint, cluster_id bigint"
+        )
     labels = edges.groupBy("src").agg(F.min("dst").alias("nbr_min")).select(
         F.col("src").alias("id"),
         F.least(F.col("src"), F.col("nbr_min")).alias("cluster_id"),

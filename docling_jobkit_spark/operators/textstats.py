@@ -256,18 +256,18 @@ def gopher_filter(
         fr[3],  # dup_frac
         fr[4],  # top_frac
     )
-    reason = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
-        .when(F.col("dup_frac") > max_dup_2gram, F.lit("repetitive_2gram"))
-        .when(F.col("top_frac") > max_top_2gram, F.lit("dominant_2gram"))
-        .when(
-            (F.col("avg_token_len") < min_avg_token_len)
-            | (F.col("avg_token_len") > max_avg_token_len),
-            F.lit("token_length"),
-        )
-        .when(F.col("lang_pred") == "und", F.lit("lang_unknown"))
-        .otherwise(F.lit(None).cast("string"))
+    reason = _gopher_reason(
+        F.col("n_tokens"),
+        F.col("avg_token_len"),
+        F.col("dup_frac"),
+        F.col("top_frac"),
+        F.col("lang_pred"),
+        min_tokens,
+        max_tokens,
+        max_dup_2gram,
+        max_top_2gram,
+        min_avg_token_len,
+        max_avg_token_len,
     )
     return j.select(
         id_col,
@@ -278,6 +278,90 @@ def gopher_filter(
         "lang_pred",
         reason.alias("quality_reject_reason"),
         reason.isNull().alias("quality_ok"),
+    )
+
+
+def _gopher_reason(
+    n_tokens,
+    avg_token_len,
+    dup_frac,
+    top_frac,
+    lang_pred,
+    min_tokens: int,
+    max_tokens: int,
+    max_dup_2gram: float,
+    max_top_2gram: float,
+    min_avg_token_len: float,
+    max_avg_token_len: float,
+) -> Column:
+    """The gopher verdict precedence over already-computed signals —
+    shared by ``gopher_filter`` and the inline ``gopher_stamp``."""
+    return (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(n_tokens > max_tokens, F.lit("too_long"))
+        .when(dup_frac > max_dup_2gram, F.lit("repetitive_2gram"))
+        .when(top_frac > max_top_2gram, F.lit("dominant_2gram"))
+        .when(
+            (avg_token_len < min_avg_token_len)
+            | (avg_token_len > max_avg_token_len),
+            F.lit("token_length"),
+        )
+        .when(lang_pred == "und", F.lit("lang_unknown"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def gopher_stamp(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_dup_2gram: float = 0.06,
+    max_top_2gram: float = 0.08,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 8.0,
+) -> DataFrame:
+    """``gopher_filter``'s verdict appended IN PLACE: every input column
+    plus ``quality_reject_reason`` / ``quality_ok``, bit-identical to the
+    join of ``gopher_filter``'s verdict columns by id — but as a pure
+    projection of ``df`` (one Generate barrier, zero joins). Composite
+    pipelines (the curation funnel) previously re-scanned the corpus for
+    ``gopher_filter``'s projection and equi-joined the verdicts back on;
+    this removes the second scan branch and the join exchange from the
+    plan (guide §2.4 — remove shuffles outright)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    rep = _rep_counts(tokens(F.lower(t)), 2)
+    others = df.columns
+    # signals + the rep fold behind ONE Generate (see gopher_filter's
+    # plan-shape note); the verdict below reads only stored columns
+    inner = df.select(
+        "*",
+        n_tok.alias("_gq_ntok"),
+        F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("_gq_avg"),
+        lang_id(text_col).alias("_gq_lang"),
+        F.explode(F.array(rep)).alias("_gq_r"),
+    )
+    fr = _rep_frac_cols(F.col("_gq_r"))
+    reason = _gopher_reason(
+        F.col("_gq_ntok"),
+        F.col("_gq_avg"),
+        fr[3],
+        fr[4],
+        F.col("_gq_lang"),
+        min_tokens,
+        max_tokens,
+        max_dup_2gram,
+        max_top_2gram,
+        min_avg_token_len,
+        max_avg_token_len,
+    )
+    # column order matches the former verdict-join spelling:
+    # (quality_ok, quality_reject_reason) appended after the input columns
+    return inner.select(
+        *others,
+        reason.isNull().alias("quality_ok"),
+        reason.alias("quality_reject_reason"),
     )
 
 

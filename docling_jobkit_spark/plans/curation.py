@@ -60,7 +60,7 @@ from docling_jobkit_spark.operators.dedup import (
     spread_for_compute,
 )
 from docling_jobkit_spark.operators.pii import pii_signals
-from docling_jobkit_spark.operators.textstats import gopher_filter, lang_id
+from docling_jobkit_spark.operators.textstats import gopher_stamp, lang_id
 from docling_jobkit_spark.operators.webfilter import canonical_url, url_filter
 
 STAGES = (
@@ -166,11 +166,15 @@ def curate_corpus(
         F.concat(F.lit("lang:"), lang),
     )
 
-    gq = gopher_filter(docs, text_col, id_col, **cfg.gopher_kwargs).select(
-        id_col, "quality_ok", "quality_reject_reason"
-    )
+    # verdict computed IN PLACE on the stamped chain (gopher_stamp):
+    # the former spelling ran gopher_filter as a SECOND scan branch of
+    # the corpus and equi-joined the (id, verdict) rows back on — one
+    # whole extra evaluation of the docs lineage plus a join exchange,
+    # for columns that are a pure projection of the text (guide §2.4).
+    # Bit-identical stamped output (A/B-collected; pinned by
+    # test_curation's stage-agreement suite).
     s = _first_drop(
-        s.join(gq, on=id_col),
+        gopher_stamp(s, text_col, **cfg.gopher_kwargs),
         ~F.col("quality_ok"),
         "gopher_quality",
         F.col("quality_reject_reason"),

@@ -873,7 +873,9 @@ def test_near_dup_clusters_long_chain_pointer_jumping(spark):
     )
     labels = {
         r["id"]: r["cluster_id"]
-        for r in near_dup_clusters(pairs, max_iterations=10).collect()
+        for r in near_dup_clusters(
+            pairs, max_iterations=10, local_edge_threshold=0
+        ).collect()
     }
     assert labels == {i: 0 for i in range(n + 1)}
 
@@ -889,7 +891,7 @@ def test_near_dup_clusters_nonconvergence_is_loud(spark):
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(pairs, max_iterations=1)
+        near_dup_clusters(pairs, max_iterations=1, local_edge_threshold=0)
 
 
 def test_near_dup_clusters_matches_union_find(spark):
@@ -918,6 +920,29 @@ def test_near_dup_clusters_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == expected
+
+
+def test_near_dup_clusters_local_matches_distributed(spark):
+    """The size-adaptive local union-find path (small edge sets) must
+    label every node identically to the distributed pointer-jumping
+    loop — chains, stars, disjoint components, and reversed edges."""
+    from docling_jobkit_spark.operators.dedup import near_dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(30)]          # chain
+        + [(100, 100 + i) for i in range(1, 8)]  # star
+        + [(503, 502), (501, 502)]               # reversed edges
+        + [(900, 901)]                           # disjoint pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, local_edge_threshold=0).collect()
+    }
+    assert local == dist and local[30] == 0 and local[502] == 501
 
 
 def test_lit_array_helpers_bit_identical_to_column_api(spark):
