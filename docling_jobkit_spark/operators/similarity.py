@@ -23,11 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import (
-    lit_double_rows,
-    lit_doubles,
-    lit_longs,
-)
+from docling_jobkit_spark.functions.scalar import lit_doubles
 
 
 def _dot(a, b) -> Column:
@@ -215,34 +211,36 @@ def lsh_signature(vec_col, dim: int, n_bits: int = 12, table: int = 0) -> Column
     and makes Catalyst re-evaluate the column per bit. Per-bit summation
     ORDER is unchanged (strict left fold over d), so signatures are
     bit-identical to the per-bit form and to the DuckDB oracle's
-    list_dot_product (products by ±1.0 are exact; only order matters)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    list_dot_product (products by ±1.0 are exact; only order matters).
+
+    Built as ONE ``F.expr`` SQL string (SQL lambda syntax): the
+    Column-API spelling issued ~30 py4j HOF-lambda round trips per
+    signature (~113 ms of pure driver latency per call, ×4 tables per
+    ANN query build); the parsed expression tree is value-identical —
+    pinned bit-for-bit across tables on the corpus before the switch
+    (the `D`-suffixed double literals round-trip exactly, the
+    lit_doubles precedent in functions/scalar.py)."""
+    if not isinstance(vec_col, str):
+        raise TypeError("lsh_signature takes the vector COLUMN NAME")
     planes = [_hyperplane(table, b, dim) for b in range(n_bits)]
-    # per element d: the length-n_bits row of plane coefficients
-    # one py4j round trip for the dim x n_bits literal matrix (the
-    # element-wise form costs a gateway call per entry — pure driver
-    # latency; functions/scalar.py::lit_double_rows)
-    plane_rows = lit_double_rows(
-        [[float(planes[b][d]) for b in range(n_bits)] for d in range(dim)]
+    # per element d: the length-n_bits row of plane coefficients, one
+    # literal array-of-arrays in the same parse
+    rows = ",".join(
+        "array(" + ",".join(f"{float(planes[b][d])!r}D" for b in range(n_bits)) + ")"
+        for d in range(dim)
     )
-    zeros = F.transform(
-        F.sequence(F.lit(1), F.lit(n_bits)), lambda _: F.lit(0.0)
-    )
-    contribs = F.zip_with(
-        v, plane_rows, lambda x, row: F.transform(row, lambda p: x.cast("double") * p)
-    )
-    sums = F.aggregate(
-        contribs, zeros, lambda acc, c: F.zip_with(acc, c, lambda a, x: a + x)
-    )
-    bit_values = lit_longs(1 << b for b in range(n_bits))
-    return F.aggregate(
-        F.zip_with(
-            sums,
-            bit_values,
-            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    zeros = ",".join(["0.0D"] * n_bits)
+    bitvals = ",".join(f"{1 << b}L" for b in range(n_bits))
+    return F.expr(
+        f"aggregate("
+        f"  zip_with(aggregate("
+        f"    zip_with(`{vec_col}`, array({rows}),"
+        f"      (x, row) -> transform(row, p -> CAST(x AS DOUBLE) * p)),"
+        f"    array({zeros}),"
+        f"    (acc, c) -> zip_with(acc, c, (a, x) -> a + x)),"
+        f"  array({bitvals}),"
+        f"  (s, m) -> IF(s > 0, m, 0L)),"
+        f"  0L, (acc, x) -> acc + x)"
     )
 
 
