@@ -180,6 +180,17 @@ def curate_corpus(
         F.col("quality_reject_reason"),
     )
 
+    # Truncate the gate lineage BEFORE the dedup stages: each dedup
+    # stage consumes the stamped frame TWICE (the narrow key projection
+    # and the flag join-back base), so without a materialization the
+    # interpreted stage-1-3 chain (lang n-grams + the gopher rep fold)
+    # re-evaluates once per consumer — measured at sf0.1: stages 1-5
+    # 27.0 → 17.9 CPU-s / 3.05 → 1.68 s wall with this checkpoint,
+    # bit-identical rows. The dedup windows keep their narrow
+    # projections (payload never enters a window exchange).
+    if materialize:
+        s = s.localCheckpoint(eager=False)
+
     # -- 4: exact dedup among survivors (keep-first = smallest id) ----
     surv = s.where(F.col("drop_stage").isNull())
     narrow = surv.select(F.col(id_col), content_hash(F.col(text_col)).alias("_k"))
