@@ -63,6 +63,7 @@ def contamination(
     id_col: str = "doc_id",
     k: int = 5,
     broadcast_benchmark: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-document contamination stats against a benchmark set.
 
@@ -70,13 +71,19 @@ def contamination(
     in the doc, n_matched — how many of them appear anywhere in the
     benchmark, contaminated — n_matched > 0). Docs with < k tokens have
     n_grams = 0 and are clean by definition.
+
+    ``spread=False``: see dedup.minhash_near_duplicates — skip the
+    parallelism guard when the caller's input is already a wide
+    checkpointed frame the guard would redundantly re-shuffle.
     """
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
     bench = benchmark_gram_set(benchmark, text_col, k)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    doc_grams = spread_for_compute(df).select(
+    if spread:
+        df = spread_for_compute(df, key=id_col)
+    doc_grams = df.select(
         F.col(id_col), F.explode_outer(kgram_hashes(text_col, k)).alias("gram")
     )
     matched = doc_grams.join(

@@ -88,7 +88,7 @@ def _perm_consts() -> list[tuple[int, int, int]]:
 _PERMS = _perm_consts()
 
 
-def spread_for_compute(df: DataFrame) -> DataFrame:
+def spread_for_compute(df: DataFrame, key=None) -> DataFrame:
     """Guarantee CPU parallelism for compute-heavy projections.
 
     A small single-row-group parquet file scans as ONE task, which would
@@ -122,7 +122,17 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     COALESCE — it never certifies parallelism. Anything uncertain (no
     match, a changed node format in a future Spark, an outermost
     coalesce) takes the conservative branch and repartitions. The check
-    is string-plan-only: no physical planning, no ``df.rdd``."""
+    is string-plan-only: no physical planning, no ``df.rdd``.
+
+    ``key`` (a unique-id column name/Column) switches the repartition
+    from keyless round-robin to HASH partitioning on the key: every
+    keyless ``repartition(n)`` first locally sorts its input rows
+    (``spark.sql.execution.sortBeforeRepartition``, the determinism-
+    under-retry mechanism — guide §2.5), and for wide text rows that
+    sort is real CPU; a hash partition on a unique id is deterministic
+    by construction and skips it (measured at sf0.1: gates-over-spread
+    7.5 → 6.5 CPU-s, uniform 134-176 rows/partition on 32). Pass only
+    genuinely-unique keys — a hot key would concentrate its rows."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if len(df.inputFiles()) >= target:
         return df
@@ -138,6 +148,8 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
             n, shuffled = int(m.group(1)), m.group(2) == "true"
         if shuffled and n >= target:
             return df
+    if key is not None:
+        return df.repartition(target, F.col(key) if isinstance(key, str) else key)
     return df.repartition(target)
 
 
@@ -212,7 +224,7 @@ def jaccard_pairs(
     share the vocabulary). Jaccard ≥ num/den tested in integer
     arithmetic (deterministic): |∩| * den ≥ |∪| * num.
     """
-    df = spread_for_compute(df)
+    df = spread_for_compute(df, key=id_col)
     if shingle_k is not None:
         words = word_shingles(text_col, shingle_k)
     else:
@@ -570,7 +582,7 @@ def lsh_candidates(
     """Candidate near-dup pairs via LSH banding: equal band-slice of the
     signature → same bucket → pair. Returns distinct (id_a, id_b)."""
     sh = _materialize(
-        spread_for_compute(df).select(
+        spread_for_compute(df, key=id_col).select(
             F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
         )
     ).filter(F.size("sh") > 0)  # empty-set guard, see minhash_near_duplicates
@@ -611,6 +623,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates verified with exact Jaccard
     over word shingles (false positives removed; the standard
@@ -618,10 +631,18 @@ def minhash_near_duplicates(
 
     Shingles are computed ONCE and materialized (localCheckpoint): the
     signature fold, both verify joins, and the banding all derive from the
-    same shingle table instead of re-tokenizing the corpus per consumer."""
+    same shingle table instead of re-tokenizing the corpus per consumer.
+
+    ``spread=False`` skips the entry parallelism guard — for callers
+    whose input is ALREADY wide (a spread-then-checkpointed frame, whose
+    LogicalRDD plan the guard cannot certify and would re-shuffle): the
+    guard's keyless repartition moves the full text payload again for
+    nothing (the curation funnel measured ~-1 s wall / -5 CPU-s dropping
+    its two redundant inner spreads)."""
+    if spread:
+        df = spread_for_compute(df, key=id_col)
     sh = _materialize(
-        spread_for_compute(df)
-        .select(F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles"))
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col).alias("shingles"))
     )
     # <k-token docs have EMPTY shingle sets; all-empty signatures are
     # identical, so they'd collide in every band and generate a quadratic
@@ -719,7 +740,7 @@ def simhash_near_duplicates(
     any pair within distance 3 shares ≥1 exact chunk (pigeonhole), so the
     join is an equi-join on (chunk_idx, chunk_value), then verified with
     bit_count(xor)."""
-    sh = spread_for_compute(df).select(
+    sh = spread_for_compute(df, key=id_col).select(
         F.col(id_col).alias("id"), simhash(text_col).alias("sh")
     )
     # materialize the signatures: the chunk explode feeds a self-join
@@ -788,7 +809,7 @@ def segment_dup_stats(
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     seg_rows = (
-        spread_for_compute(df)
+        spread_for_compute(df, key=id_col)
         .select(F.col(id_col).alias("id"), F.explode(segs).alias("seg"))
         .select("id", stable_hash64("seg").alias("seg_hash"))
     )

@@ -52,7 +52,7 @@ def brute_force_topk(
     """Exact top-k by cosine; deterministic tie-break on id."""
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
-    df = spread_for_compute(df)
+    df = spread_for_compute(df, key=id_col)
     q = lit_doubles(float(x) for x in query_vec)
     scored = df.select(
         F.col(id_col),
@@ -94,7 +94,7 @@ def embedding_near_duplicates(
     identical across engines."""
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
-    df = spread_for_compute(df)
+    df = spread_for_compute(df, key=id_col)
     if lsh_bits is not None:
         if dim is None:
             raise ValueError("lsh_bits requires dim (embedding dimensionality)")

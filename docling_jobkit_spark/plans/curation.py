@@ -142,7 +142,7 @@ def curate_corpus(
     # the WHOLE funnel on 2-3 tasks (measured: stages 1-3 alone cost
     # 8.9 s at 3 tasks vs ~1.5 s spread at sf0.1). No-op at corpus
     # scale where the scan already has >= shuffle-partitions splits.
-    docs = spread_for_compute(docs)
+    docs = spread_for_compute(docs, key=id_col)
 
     # -- 1-3: stateless gates (verdicts computed for every doc; the
     # first-fail precedence turns them into the funnel order) ---------
@@ -221,10 +221,16 @@ def curate_corpus(
 
     # -- 6: fuzzy dedup among survivors (clusters, keep canonical) ----
     surv = s.where(F.col("drop_stage").isNull())
+    # spread=False: surv filters the checkpointed stamped frame, which
+    # inherited the funnel-entry spread's width through the gate
+    # projections and broadcast flag joins — the operator's own guard
+    # cannot certify a LogicalRDD plan and would re-shuffle the
+    # survivor text for nothing
     pairs = minhash_near_duplicates(
         surv.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         threshold_num=cfg.minhash_threshold_num,
         threshold_den=cfg.minhash_threshold_den,
+        spread=not materialize,
     )
     clusters = near_dup_clusters(pairs)
     non_canonical = clusters.where(F.col("cluster_id") != F.col("id")).select(
@@ -241,6 +247,7 @@ def curate_corpus(
             surv.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
             benchmark,
             k=cfg.contam_k,
+            spread=not materialize,  # same reasoning as the fuzzy stage
         )
         hits = contam.where(F.col("contaminated")).select(
             F.col("doc_id").alias(id_col)
