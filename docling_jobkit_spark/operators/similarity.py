@@ -339,6 +339,8 @@ def kmeans_centroids(
 
     Every step is a pure function of the data, so repeated runs (and the
     pytest recall fixture) reproduce the identical codebook."""
+    import math
+
     rows = (
         df.orderBy(F.col(id_col)).limit(sample_n).select(vec_col).collect()
     )
@@ -347,25 +349,43 @@ def kmeans_centroids(
         raise ValueError("kmeans_centroids: no non-null vectors in sample")
     k = min(k, len(vecs))
 
+    # norms precomputed ONCE per vector/centroid: `_py_cosine` recomputes
+    # both norms on every call, which tripled the flop count of this
+    # driver-side loop (sample_n × k cosines per Lloyd iteration, pure
+    # Python). Same left-to-right sums and the same dot/(na·nb) division
+    # — every float is bit-identical to the per-call spelling, so the
+    # codebook (and everything stamped with its digest) is unchanged.
+    def _norm(a):
+        return math.sqrt(sum(x * x for x in a))
+
+    def _cos(a, b, na, nb):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (na * nb) if na and nb else -2.0
+
+    vnorms = [_norm(v) for v in vecs]
+
     # farthest-point init (deterministic k-means++ stand-in)
     cents = [list(vecs[0])]
+    cnorm = _norm(cents[0])
     # nearest-seed similarity per sample vector (higher = closer)
-    best_sim = [round(_py_cosine(v, cents[0]), 6) for v in vecs]
+    best_sim = [round(_cos(v, cents[0], vnorms[i], cnorm), 6) for i, v in enumerate(vecs)]
     while len(cents) < k:
         # the vector FARTHEST from its nearest seed; lowest index ties
         far_i = min(range(len(vecs)), key=lambda i: (best_sim[i], i))
         cents.append(list(vecs[far_i]))
+        cnorm = _norm(cents[-1])
         for i, v in enumerate(vecs):
-            s = round(_py_cosine(v, cents[-1]), 6)
+            s = round(_cos(v, cents[-1], vnorms[i], cnorm), 6)
             if s > best_sim[i]:
                 best_sim[i] = s
 
     dim = len(vecs[0])
     for _ in range(n_iter):
+        cnorms = [_norm(c) for c in cents]
         sums = [[0.0] * dim for _ in range(k)]
         counts = [0] * k
-        for v in vecs:
-            sims = [round(_py_cosine(v, c), 6) for c in cents]
+        for i, v in enumerate(vecs):
+            sims = [round(_cos(v, c, vnorms[i], cnorms[j]), 6) for j, c in enumerate(cents)]
             best = max(range(k), key=lambda i: (sims[i], -i))
             counts[best] += 1
             s = sums[best]
