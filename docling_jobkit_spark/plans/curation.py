@@ -191,22 +191,54 @@ def curate_corpus(
     if materialize:
         s = s.localCheckpoint(eager=False)
 
-    # -- 4: exact dedup among survivors (keep-first = smallest id) ----
+    # -- 4+5: exact dedup, then canonical-url dedup, among survivors
+    # (keep-first = smallest id), as ONE plan fragment. Stage 5's
+    # election runs over stage 4's survivors exactly as the sequential
+    # spelling did — the url window is filtered to hash-election winners
+    # (_rh == 1), which IS the stage-4 survivor set among gate
+    # survivors — but both elections now read ONE narrow projection of
+    # the checkpointed frame (one consumer pass instead of two) and the
+    # disjoint flag sets (_rh > 1 vs _rh == 1 ∧ _ru > 1) join back
+    # in ONE bounded broadcast instead of two (guide §2.4: fewer
+    # sequential exchanges; A/B'd byte-identical stamped/ledger/kept).
     surv = s.where(F.col("drop_stage").isNull())
-    narrow = surv.select(F.col(id_col), content_hash(F.col(text_col)).alias("_k"))
-    w = Window.partitionBy("_k").orderBy(F.asc(id_col))
-    dups = narrow.select(id_col, F.row_number().over(w).alias("_rk")).where(
-        F.col("_rk") > 1
+    narrow = surv.select(
+        F.col(id_col),
+        content_hash(F.col(text_col)).alias("_kh"),
+        canonical_url(url_col).alias("_ku"),
     )
-    s = _drop_flagged(s, dups, id_col, "exact_dedup", F.lit("exact_duplicate"))
-
-    # -- 5: canonical-url dedup among survivors ------------------------
-    surv = s.where(F.col("drop_stage").isNull())
-    narrow = surv.select(F.col(id_col), canonical_url(url_col).alias("_k"))
-    dups = narrow.select(id_col, F.row_number().over(w).alias("_rk")).where(
-        F.col("_rk") > 1
+    wh = Window.partitionBy("_kh").orderBy(F.asc(id_col))
+    ranked = narrow.withColumn("_rh", F.row_number().over(wh))
+    wu = Window.partitionBy("_ku").orderBy(F.asc(id_col))
+    exact_dups = ranked.where(F.col("_rh") > 1).select(
+        F.col(id_col),
+        F.lit("exact_dedup").alias("_fstage"),
+        F.lit("exact_duplicate").alias("_freason"),
     )
-    s = _drop_flagged(s, dups, id_col, "url_dedup", F.lit("url_duplicate"))
+    url_dups = (
+        ranked.where(F.col("_rh") == 1)
+        .withColumn("_ru", F.row_number().over(wu))
+        .where(F.col("_ru") > 1)
+        .select(
+            F.col(id_col),
+            F.lit("url_dedup").alias("_fstage"),
+            F.lit("url_duplicate").alias("_freason"),
+        )
+    )
+    flags = exact_dups.unionByName(url_dups)
+    s = s.join(flags, on=id_col, how="left")
+    fresh = F.col("drop_stage").isNull() & F.col("_fstage").isNotNull()
+    s = (
+        s.withColumn(
+            "drop_reason",
+            F.when(fresh, F.col("_freason")).otherwise(F.col("drop_reason")),
+        )
+        .withColumn(
+            "drop_stage",
+            F.when(fresh, F.col("_fstage")).otherwise(F.col("drop_stage")),
+        )
+        .drop("_fstage", "_freason")
+    )
 
     # Truncate the stage-1-5 lineage before the fan-out: the stamped
     # frame from here feeds THREE downstream executions (the fuzzy
