@@ -47,11 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import lit_doubles
-
 from docling_jobkit_spark.operators.similarity import (
     codebook_id,
-    cosine_col,
     with_ivf_cells,
 )
 
@@ -185,15 +182,11 @@ def ivf_index_report(
                 f"current={current} — similarity against foreign centroids "
                 "is not the stored assignment's geometry"
             )
-        sim_arr = F.array(
-            *[
-                F.round(
-                    cosine_col(F.col(vec_col), lit_doubles(float(x) for x in c)),
-                    6,
-                )
-                for c in centroids
-            ]
-        )
+        # one F.expr parse — the Column-API loop costs ~6 py4j lambda
+        # registrations per centroid (see similarity._cosine_array)
+        from docling_jobkit_spark.operators.similarity import _cosine_array
+
+        sim_arr = _cosine_array(idx, [list(map(float, c)) for c in centroids], vec_col)
         own = F.when(
             F.col("ivf_cell") >= 0, F.element_at(sim_arr, F.col("ivf_cell") + 1)
         )

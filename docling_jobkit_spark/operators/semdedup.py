@@ -58,10 +58,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import lit_doubles, lit_longs
+from docling_jobkit_spark.functions.scalar import lit_longs
 
 from docling_jobkit_spark.operators.dedup import spread_for_compute
-from docling_jobkit_spark.operators.similarity import cosine_col, ivf_assign
+from docling_jobkit_spark.operators.similarity import ivf_assign
 
 
 def with_semdedup_rank(
@@ -138,8 +138,21 @@ def semantic_duplicates(
     # materialize once — repo invariant, lineage otherwise recomputes the
     # k-cosine assignment per consumer
     ranked = ranked.localCheckpoint(eager=False)
+    # per-ROW norm, computed once per side instead of once per PAIR:
+    # cosine_col re-derives both 64-wide norm folds inside every pair —
+    # 3× the flops of the dot — and the interpreted chain is
+    # CodegenFallback, so nothing dedupes it. _nrm is the identical
+    # SQRT(aggregate(...)) value, so dot/(_nrm_l·_nrm_r) multiplies the
+    # same two doubles in the same order — every float unchanged
+    # (A/B-collected, verdicts byte-identical).
+    from docling_jobkit_spark.operators.similarity import _dot, _norm
+
     slim = ranked.where(F.col("ivf_cell") >= 0).select(
-        F.col("ivf_cell"), F.col(id_col), F.col(vec_col), F.col("sem_rank")
+        F.col("ivf_cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("sem_rank"),
+        _norm(F.col(vec_col)).alias("_nrm"),
     )
     salts = lit_longs(range(n_salts))
     left = spread_for_compute(
@@ -147,6 +160,7 @@ def semantic_duplicates(
             F.col("ivf_cell"),
             F.col("sem_rank").alias("_rank_l"),
             F.col(vec_col).alias("_vec_l"),
+            F.col("_nrm").alias("_nrm_l"),
             F.explode(salts).alias("_salt"),
         )
     )
@@ -155,15 +169,22 @@ def semantic_duplicates(
         F.col(id_col).alias("_id_r"),
         F.col("sem_rank").alias("_rank_r"),
         F.col(vec_col).alias("_vec_r"),
+        F.col("_nrm").alias("_nrm_r"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("_salt"),
+    )
+    # the pair similarity rides through the explode(array(...)) Generate
+    # barrier: the tau filter otherwise pushes below the projection and
+    # re-inlines the whole interpreted dot fold (one extra evaluation
+    # per pair — the repo's filter-over-expensive-projection trap)
+    sim = F.round(
+        _dot(F.col("_vec_l"), F.col("_vec_r"))
+        / (F.col("_nrm_l") * F.col("_nrm_r")),
+        6,
     )
     pairs = (
         left.join(right, ["ivf_cell", "_salt"])
         .where(F.col("_rank_l") < F.col("_rank_r"))
-        .select(
-            F.col("_id_r"),
-            F.round(cosine_col(F.col("_vec_l"), F.col("_vec_r")), 6).alias("_sim"),
-        )
+        .select(F.col("_id_r"), F.explode(F.array(sim)).alias("_sim"))
         .where(F.col("_sim") >= F.lit(float(tau)))
     )
     hit = pairs.groupBy("_id_r").agg(F.max("_sim").alias("max_prior_sim"))

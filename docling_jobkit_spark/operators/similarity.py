@@ -103,16 +103,21 @@ def embedding_near_duplicates(
                 df, threshold, vec_col, id_col, lsh_bits, dim, lsh_tables
             )
         block_expr = lsh_signature(vec_col, dim, lsh_bits, lsh_table)
-        names = ["id", "v", "blk"]
+        names = ["id", "v", "nv", "blk"]
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nv"),
             block_expr.alias("blk"),
         )
         block_col = "blk"
     else:
-        names = ["id", "v"] + (["blk"] if block_col else [])
-        cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+        names = ["id", "v", "nv"] + (["blk"] if block_col else [])
+        cols = [
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nv"),
+        ]
         if block_col:
             cols.append(F.col(block_col).alias("blk"))
         base = df.select(*cols)
@@ -122,12 +127,33 @@ def embedding_near_duplicates(
     if block_col:
         cond = cond & (F.col("blk_a") == F.col("blk_b"))
     pairs = a.join(b, on=cond)
-    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
-    return pairs.select(
-        F.col("id_a").alias("vec_id_a"),
-        F.col("id_b").alias("vec_id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return _pair_cosine_rows(pairs, threshold)
+
+
+def _pair_cosine_rows(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine ≥ threshold) from a candidate-pair
+    frame carrying (id_a, v_a, nv_a, id_b, v_b, nv_b).
+
+    The per-ROW norms ``nv_*`` are computed once per side instead of
+    once per pair (cosine_col re-derives both 64-wide norm folds inside
+    every pair — 3× the flops of the dot — and the interpreted chain is
+    CodegenFallback, so nothing dedupes it); dot/(nv_a·nv_b) multiplies
+    the identical SQRT values in the same order, so every rounded
+    cosine is bit-unchanged. The similarity rides the explode(array())
+    Generate barrier: the threshold filter otherwise pushes below the
+    projection and re-inlines the whole fold (one extra evaluation per
+    pair — the filter-over-expensive-projection trap)."""
+    cos = F.round(
+        _dot(F.col("v_a"), F.col("v_b")) / (F.col("nv_a") * F.col("nv_b")), 6
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            F.explode(F.array(cos)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def _lsh_multi_table_pairs(
@@ -150,6 +176,7 @@ def _lsh_multi_table_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nv"),
         *[
             lsh_signature(vec_col, dim, lsh_bits, t).alias(f"blk_{t}")
             for t in range(n_tables)
@@ -160,10 +187,12 @@ def _lsh_multi_table_pairs(
     for t in range(n_tables):
         a = base.select(
             F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nv").alias("nv_a"),
             F.col(f"blk_{t}").alias("blk_a"),
         )
         b = base.select(
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nv").alias("nv_b"),
             F.col(f"blk_{t}").alias("blk_b"),
         )
         per_table.append(
@@ -171,18 +200,13 @@ def _lsh_multi_table_pairs(
                 b,
                 on=(F.col("blk_a") == F.col("blk_b"))
                 & (F.col("id_a") < F.col("id_b")),
-            ).select("id_a", "id_b", "v_a", "v_b")
+            ).select("id_a", "id_b", "v_a", "v_b", "nv_a", "nv_b")
         )
     cand = per_table[0]
     for p in per_table[1:]:
         cand = cand.unionByName(p)
     cand = cand.dropDuplicates(["id_a", "id_b"])
-    cos = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
-    return cand.select(
-        F.col("id_a").alias("vec_id_a"),
-        F.col("id_b").alias("vec_id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return _pair_cosine_rows(cand, threshold)
 
 
 # --- random-hyperplane LSH --------------------------------------------------
@@ -283,14 +307,30 @@ def ivf_assign(
 def _cosine_array(
     df: DataFrame, centroids: list[list[float]], vec_col: str
 ) -> Column:
-    """The k-wide rounded-cosine array against literal centroids."""
-    v = F.col(vec_col)
-    return F.array(
-        *[
-            F.round(cosine_col(v, lit_doubles(float(x) for x in c)), 6)
-            for c in centroids
-        ]
-    )
+    """The k-wide rounded-cosine array against literal centroids, as ONE
+    ``F.expr`` parse (the lsh_signature precedent): the Column-API
+    spelling costs ~6 py4j lambda registrations per centroid — ~0.4 s of
+    pure driver latency per build at k=16 — while the SQL text parses
+    the IDENTICAL expression tree (same aggregate/zip_with/cast/sqrt
+    nodes, ``_double_sql`` literals round-trip bit-exactly), so every
+    float is unchanged (A/B-collected on the embeddings corpus)."""
+    from docling_jobkit_spark.functions.scalar import _double_sql
+
+    v = f"`{vec_col}`"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+
+    terms = []
+    for c in centroids:
+        lit = "array(" + ",".join(_double_sql(float(x)) for x in c) + ")"
+        cos = f"{dot(v, lit)} / (SQRT({dot(v, v)}) * SQRT({dot(lit, lit)}))"
+        terms.append(f"round({cos}, 6)")
+    return F.expr("array(" + ",".join(terms) + ")")
 
 
 def deterministic_centroids(
