@@ -196,12 +196,17 @@ def contamination_fuzzy_pairs(
             F.zip_with("_sc", "_sb", lambda a, b: a == b), lambda x: x
         )
     )
+    # the agreement count rides the explode(array()) Generate barrier:
+    # the min_agree filter otherwise pushes below the projection and
+    # re-inlines the 64-wide zip_with fold — one extra interpreted
+    # evaluation per candidate pair (the
+    # filter-over-expensive-projection trap; values unchanged)
     return (
         corpus.join(bench, on=["band", "bucket"])
         .select(
             "doc_id",
             "bench_id",
-            n_agree.cast("int").alias("n_agree"),
+            F.explode(F.array(n_agree.cast("int"))).alias("n_agree"),
         )
         .where(F.col("n_agree") >= min_agree)
         .distinct()

@@ -252,9 +252,17 @@ def near_dup_pairs_against_index(
     n_agree = F.size(
         F.filter(F.zip_with("_s_new", "_s_idx", lambda a, b: a == b), lambda x: x)
     )
+    # Generate barrier on the agreement count: the min_agree filter
+    # otherwise pushes below the projection and re-inlines the 64-wide
+    # zip_with fold — one extra interpreted evaluation per candidate
+    # pair (the filter-over-expensive-projection trap; values unchanged)
     return (
         idx.join(new_banded, on=["band", "bucket"])
-        .select("doc_id", "index_id", n_agree.cast("int").alias("n_agree"))
+        .select(
+            "doc_id",
+            "index_id",
+            F.explode(F.array(n_agree.cast("int"))).alias("n_agree"),
+        )
         .where(F.col("n_agree") >= min_agree)
         .distinct()
         .select(
