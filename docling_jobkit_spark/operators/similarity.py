@@ -325,12 +325,30 @@ def _cosine_array(
             "(acc, x) -> acc + x)"
         )
 
-    terms = []
+    # The vector's own norm is bound ONCE via a single-element transform
+    # lambda (the fold is CodegenFallback — inlining SQRT(dot(v,v)) into
+    # every centroid's term re-evaluates it k times per row), and each
+    # centroid's norm is a DRIVER-computed literal: the same
+    # 0.0-seeded left-fold of x·x in element order plus math.sqrt is
+    # bit-for-bit the expression's own evaluation (the kmeans_centroids
+    # norm precedent), so dot/(nv·nc) divides by the identical product.
+    # Per-row fold count: 2k+1 → k+1.
+    import math
+
+    rows = []
     for c in centroids:
-        lit = "array(" + ",".join(_double_sql(float(x)) for x in c) + ")"
-        cos = f"{dot(v, lit)} / (SQRT({dot(v, v)}) * SQRT({dot(lit, lit)}))"
-        terms.append(f"round({cos}, 6)")
-    return F.expr("array(" + ",".join(terms) + ")")
+        cs = [float(x) for x in c]
+        lit = "array(" + ",".join(_double_sql(x) for x in cs) + ")"
+        acc = 0.0
+        for x in cs:
+            acc += x * x
+        rows.append(f"struct({lit} AS c, {_double_sql(math.sqrt(acc))} AS nc)")
+    cents = "array(" + ",".join(rows) + ")"
+    body = f"round({dot(v, 's.c')} / (nv * s.nc), 6)"
+    return F.expr(
+        f"transform(array(SQRT({dot(v, v)})), "
+        f"nv -> transform({cents}, s -> {body}))[0]"
+    )
 
 
 def deterministic_centroids(
