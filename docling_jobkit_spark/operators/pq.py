@@ -40,7 +40,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docling_jobkit_spark.functions.scalar import lit_double_rows, lit_doubles
+from docling_jobkit_spark.functions.scalar import lit_double_rows
 
 
 def _sq_l2(a: list[float], b: list[float]) -> float:
@@ -231,7 +231,6 @@ def pq_topk(
 
     Raises on a codebook/shape mismatch with the table's stamp."""
     from docling_jobkit_spark.operators.dedup import spread_for_compute
-    from docling_jobkit_spark.operators.similarity import cosine_col
 
     _check_stamp(encoded, codebooks)
     encoded = spread_for_compute(encoded)
@@ -268,13 +267,14 @@ def pq_topk(
             .orderBy(F.col("adc_dist").asc(), F.col(id_col))
             .limit(k)
         )
-    q = lit_doubles(float(x) for x in query_vec)
+    from docling_jobkit_spark.operators.similarity import _cosine_to_query
+
     shortlist = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(
         max(rerank, k)
     )
     return (
         shortlist.withColumn(
-            "cosine", F.round(cosine_col(F.col(vec_col), q), 6)
+            "cosine", _cosine_to_query(vec_col, query_vec)
         )
         .select(F.col(id_col), F.col("adc_dist"), F.col("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))

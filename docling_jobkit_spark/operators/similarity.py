@@ -53,12 +53,32 @@ def brute_force_topk(
     from docling_jobkit_spark.operators.dedup import spread_for_compute
 
     df = spread_for_compute(df, key=id_col)
-    q = lit_doubles(float(x) for x in query_vec)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        _cosine_to_query(vec_col, query_vec).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _cosine_to_query(vec_col: str, query_vec) -> Column:
+    """round(cos(v, q), 6) against a driver-known query vector, with the
+    QUERY's norm folded to a literal: cosine_col re-evaluates the
+    64-wide SQRT(dot(q,q)) fold per row for a constant (CodegenFallback
+    — never constant-folded). The literal is the same 0.0-seeded left
+    fold + sqrt, so dot/(norm(v)·nq) multiplies the identical doubles in
+    the same order — bit-unchanged (the kmeans/centroid-norm precedent).
+    Per-row fold count 3 → 2."""
+    import math
+
+    qs = [float(x) for x in query_vec]
+    q = lit_doubles(qs)
+    acc = 0.0
+    for x in qs:
+        acc += x * x
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.round(
+        _dot(v, q) / (_norm(v) * F.lit(math.sqrt(acc))), 6
+    )
 
 
 def embedding_near_duplicates(
